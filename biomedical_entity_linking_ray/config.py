@@ -1,0 +1,103 @@
+"""Job configuration for the linkage pipeline.
+
+Every knob that affects shuffle volume, block fan-out or determinism lives
+here so a job config fully determines the output (reference analog: hydra /
+params.json config surfaces, SURVEY.md 2.11).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LinkageConfig:
+    # --- MinHash / LSH (stage 1 blocking) ---
+    num_perm: int = 128          # minhash permutations; sig bytes/row = 8*num_perm
+    # 21 bands x 6 rows (126 of 128 perms used): P(co-block) = 1-(1-J^6)^21 --
+    # 0.998 at J=0.80 (measured planted near-dup floor ~0.81), 0.008 at J=0.27
+    # (measured random-pair ceiling). Geometry chosen from the measured Jaccard
+    # separation, not guessed.
+    lsh_bands: int = 21
+    shingle_k: int = 5           # char-shingle width over normalized content
+    max_shingles: int = 8192     # cap shingles per doc (dedup'd); bounds per-row cost
+
+    # --- hashed-TF vector (stage 2 cosine) ---
+    tf_dim: int = 128            # hashed term-frequency vector dimensionality
+
+    # --- blocking keys ---
+    use_sha_key: bool = True     # exact sha256(content) key (stage-0 invariant)
+    use_minhash_keys: bool = True
+    use_path_key: bool = True    # lang + filename-stem key (catches renamed near-dups)
+
+    # --- hot-key salting (stage 1 shuffle skew control) ---
+    # A block with > salt_cap rows is split into ceil(n/salt_cap) salted
+    # sub-blocks by hash(file_id); a deterministic ~1/bridge_rate sample of each
+    # sub-block is ALSO emitted into the next sub-block (ring overlap) so the
+    # block stays connected for transitive closure. This caps per-group pair
+    # fan-out at O(salt_cap * pair_window) regardless of key skew.
+    salt_cap: int = 512
+    bridge_rate: int = 8         # ~1/8 of a salted sub-block is duplicated into the ring
+
+    # --- pair generation ---
+    # Within a block (sorted by file_id): all pairs when the group is small,
+    # otherwise each row links to its next `pair_window` neighbors (sorted
+    # neighborhood). Windowed chains stay connected; transitive clustering
+    # recovers the full cluster. Documented partitioning assumption: a cluster
+    # is recovered iff its members share blocks whose windowed-link graph is
+    # connected, which salting's ring overlap preserves.
+    all_pairs_max: int = 64      # group size up to which all O(n^2)/2 pairs are emitted
+    pair_window: int = 8         # neighbor links per row in larger groups
+
+    # --- scoring / decision ---
+    w_jw: float = 0.25           # weight: Jaro-Winkler(path)
+    w_jac: float = 0.45          # weight: MinHash-estimated Jaccard(content shingles)
+    w_cos: float = 0.30          # weight: cosine(hashed-TF content vectors)
+    tau: float = 0.62            # combined-score threshold for an edge
+
+    # --- clustering ---
+    max_rounds: int = 50         # hard cap on label-propagation rounds
+
+    # --- physical execution ---
+    batch_size: int = 1024       # rows per batch in feature stages
+    score_batch_size: int = 4096 # pairs per batch in the scoring actor pool
+    scorer_concurrency: int = 4  # scoring actor-pool size
+    join_partitions: int = 8     # num_partitions for hash joins / groupbys
+    seed: int = 42               # all hashing / salting derives from this
+
+    @property
+    def rows_per_band(self) -> int:
+        # trailing permutations beyond bands*rows are simply unused by banding
+        return self.num_perm // self.lsh_bands
+
+
+DEFAULT_CONFIG = LinkageConfig()
+
+
+@dataclass(frozen=True)
+class SynthConfig:
+    """Deterministic synthetic files-corpus generator knobs (FIXTURES.md 1/4)."""
+
+    seed: int = 42
+    n_singletons: int = 600          # unique files, no cluster
+    n_small_clusters: int = 120      # planted clusters of size 2-5
+    n_medium_clusters: int = 6       # planted clusters of size ~50
+    hot_block_size: int = 500        # one vendored file duplicated widely
+    n_hard_negatives: int = 150      # same lang + similar path, different content
+    n_cross_lang_decoys: int = 60    # same path tokens, different lang
+    near_dup_edit_rate: float = 0.05 # token-level edit fraction for near dups
+    langs: tuple = ("python", "java", "js", "c", "go", "text")
+
+    def scaled(self, factor: float) -> "SynthConfig":
+        """Scale row volume by `factor`, keeping structure."""
+        return SynthConfig(
+            seed=self.seed,
+            n_singletons=max(1, int(self.n_singletons * factor)),
+            n_small_clusters=max(1, int(self.n_small_clusters * factor)),
+            n_medium_clusters=max(1, int(self.n_medium_clusters * factor)),
+            hot_block_size=max(4, int(self.hot_block_size * factor)),
+            n_hard_negatives=max(1, int(self.n_hard_negatives * factor)),
+            n_cross_lang_decoys=max(1, int(self.n_cross_lang_decoys * factor)),
+            near_dup_edit_rate=self.near_dup_edit_rate,
+            langs=self.langs,
+        )

@@ -1,0 +1,214 @@
+"""Deterministic vectorized hashing kernels (numpy only).
+
+All sketches here are mergeable/deterministic and independent of process,
+platform and PYTHONHASHSEED -- a hard requirement because blocks execute in
+unordered parallel workers and two runs at different parallelism must produce
+identical results (SURVEY.md 7.4 "Determinism under parallelism"; the
+reference is careless here, bioel data_utils.py:291-294 uses unseeded RNG).
+
+Kernels: FNV-1a (scalar + vectorized sliding-window), char-shingle set
+hashing, MinHash signatures, LSH band keys, hashed-TF vectors, SimHash,
+rolling document fingerprints. Arithmetic is uint64 with wraparound
+(mod 2^64), which numpy does natively on arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_OLD_ERR = np.seterr(over="ignore")  # uint64 wraparound is intentional everywhere here
+np.seterr(**_OLD_ERR)
+
+
+def fnv1a_bytes(data: bytes) -> int:
+    """Scalar FNV-1a 64-bit over a byte string."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a_str(s: str) -> int:
+    return fnv1a_bytes(s.encode("utf-8", "surrogatepass"))
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer -- cheap strong mixing of uint64 arrays."""
+    x = x.astype(np.uint64, copy=True)
+    x += _GOLDEN
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def char_shingle_hashes(text: str, k: int, max_shingles: int = 0) -> np.ndarray:
+    """Unique 64-bit hashes of all k-char shingles of `text` (vectorized).
+
+    Sliding-window FNV-1a over the utf-8 bytes: no Python loop over shingles,
+    only a loop over the k window columns.
+    """
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    if b.size < k:  # pad short docs so they still produce one shingle
+        b = np.pad(b, (0, k - b.size))
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    with np.errstate(over="ignore"):
+        h = np.full(win.shape[0], _FNV_OFFSET, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ win[:, j].astype(np.uint64)) * _FNV_PRIME
+    out = np.unique(h)
+    if max_shingles and out.size > max_shingles:
+        # deterministic subset: smallest hashes (a KMV-style sketch, stable
+        # under permutation of the document)
+        out = out[:max_shingles]
+    return out
+
+
+def token_hashes(text: str, lowercase: bool = True) -> np.ndarray:
+    """64-bit hashes of whitespace/punct tokens (unique-preserving counts not kept)."""
+    if lowercase:
+        text = text.lower()
+    toks = _TOKEN_SPLIT.findall(text)
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter((fnv1a_str(t) for t in toks), dtype=np.uint64, count=len(toks))
+
+
+import re  # noqa: E402
+
+_TOKEN_SPLIT = re.compile(r"[A-Za-z0-9_]+")
+
+
+class MinHasher:
+    """MinHash over 64-bit shingle hashes with `num_perm` affine permutations.
+
+    Permutation params derive from `seed` only. h_i(x) = a_i*x + b_i (mod 2^64)
+    with odd a_i -- a standard multiply-shift family; min over shingles per i.
+    """
+
+    def __init__(self, num_perm: int, seed: int):
+        rng = np.random.RandomState(seed)
+        # odd multipliers, arbitrary addends; dtype uint64 via two 32-bit draws
+        lo = rng.randint(0, 2**32, size=num_perm * 2, dtype=np.uint64)
+        hi = rng.randint(0, 2**32, size=num_perm * 2, dtype=np.uint64)
+        params = (hi << np.uint64(32)) | lo
+        self.a = params[:num_perm] | np.uint64(1)
+        self.b = params[num_perm:]
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 signature. Empty input -> all-max sentinel."""
+        if shingles.size == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) transient; chunk shingles to bound memory
+            out = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+            step = 4096
+            for s in range(0, shingles.size, step):
+                chunk = shingles[s : s + step]
+                m = self.a[:, None] * chunk[None, :] + self.b[:, None]
+                np.minimum(out, m.min(axis=1), out=out)
+        return out
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+    @staticmethod
+    def estimate_jaccard_batch(sigs_a: np.ndarray, sigs_b: np.ndarray) -> np.ndarray:
+        """Row-wise Jaccard estimate for (n, num_perm) stacked signatures."""
+        return (sigs_a == sigs_b).mean(axis=1)
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(bands,) uint64: one mixed hash per LSH band of the signature."""
+    rows = sig.size // bands
+    banded = sig[: bands * rows].reshape(bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.full(bands, _FNV_OFFSET, dtype=np.uint64)
+        for j in range(rows):
+            h = (h ^ splitmix64(banded[:, j])) * _FNV_PRIME
+    return h
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) band hashes for stacked (n, num_perm) signatures."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    banded = sigs[:, : bands * rows].reshape(n, bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(rows):
+            h = (h ^ splitmix64(banded[:, :, j].ravel()).reshape(n, bands)) * _FNV_PRIME
+    return h
+
+
+def hashed_tf_vector(hashes: np.ndarray, dim: int) -> np.ndarray:
+    """L2-normalized hashed term-frequency vector (float32, `dim`).
+
+    Feature index = mix(h) % dim, signed by one mix bit (feature hashing with
+    sign trick reduces collision bias).
+    """
+    if hashes.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    mixed = splitmix64(hashes)
+    idx = (mixed % np.uint64(dim)).astype(np.int64)
+    sign = np.where((mixed >> np.uint64(63)).astype(bool), -1.0, 1.0)
+    v = np.zeros(dim, dtype=np.float64)
+    np.add.at(v, idx, sign)
+    n = np.linalg.norm(v)
+    if n > 0:
+        v /= n
+    return v.astype(np.float32)
+
+
+def simhash64(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of a multiset of token hashes."""
+    if hashes.size == 0:
+        return 0
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+    bits = bits * 2.0 - 1.0
+    if weights is not None:
+        bits *= weights[:, None]
+    acc = bits.sum(axis=0)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via bit tricks (numpy<2 has no bit_count)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
+def rolling_fingerprint(text: str, window: int = 64, modulus: int = 0) -> int:
+    """Deterministic document fingerprint: min of rolling FNV window hashes.
+
+    A winnowing-style fingerprint (Schleimer et al., SIGMOD'03 idea): hash all
+    `window`-char windows, keep the minimum -- stable under local edits.
+    """
+    h = char_shingle_hashes(text, min(window, max(1, len(text))))
+    return int(h.min()) if h.size else 0

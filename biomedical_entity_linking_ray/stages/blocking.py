@@ -1,0 +1,215 @@
+"""Stage 1 -- blocking: key emission, hot-key salting, candidate-pair generation.
+
+The reference's candidate generation (char-ngram TF-IDF ANN,
+scispacy_embeddings.py:110-204; FAISS k-NN, BiEncoderLightningModule.py:488-557)
+is re-expressed without any ANN index: a row is exploded into its blocking keys
+(`map_batches`), keys are hash-shuffled (`groupby`) and pairs are enumerated
+within each block (`map_groups`). At 10^12 rows an index would not fit or
+build; LSH banding gives the same candidate semantics as a shuffle.
+
+Runs AFTER exact contraction, over unique-content representatives only.
+Everything shuffled here is skinny -- (block_key, file_id) rows and
+(id_a, id_b, block_key) pairs; the KB-sized sketch features are joined onto
+the deduplicated pair list afterwards (`attach_pair_features`), so feature
+bytes move exactly once per surviving pair side, never through the
+key-explosion or dedup shuffles.
+
+Skew control (SURVEY.md 7.4 "Hot blocks"): per-key counts are pre-aggregated
+inside `map_batches` (combiner) and only tiny partials are shuffled; keys over
+`salt_cap` are broadcast (`ray.put`, read once per task) to a salting pass
+splitting them into `ceil(n/cap)` sub-blocks by id-hash with a deterministic
+~1/bridge_rate ring overlap into the next sub-block, keeping the block's
+windowed-link graph connected for transitive clustering.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from biomedical_entity_linking_ray.config import LinkageConfig
+from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions.joins import hash_join
+
+
+def emit_block_keys(reps: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.Dataset":
+    """Explode each representative row into (block_key, file_id) rows.
+
+    Keys (lang-prefixed so cross-lang decoys never share a block):
+    - ``m<band>:<lang>:<hash>``   MinHash LSH band keys over content shingles
+    - ``p:<lang>:<stem>``         filename-stem key (catches renamed near-dups)
+
+    (No sha key: exact duplicates are already contracted away.)
+    """
+    bands = cfg.lsh_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        langs = batch["lang"].to_pylist()
+        stems = batch["stem"].to_pylist()
+        fids = batch["file_id"].to_pylist()
+        sig_buf = b"".join(batch["sig"].to_pylist())
+        sigs = np.frombuffer(sig_buf, dtype=np.uint64).reshape(n, cfg.num_perm)
+
+        keys: list[str] = []
+        out_fids: list[str] = []
+        if cfg.use_minhash_keys:
+            bh = hashing.band_hashes_batch(sigs, bands)  # (n, bands)
+            for i in range(n):
+                li = langs[i]
+                fi = fids[i]
+                for b in range(bands):
+                    keys.append(f"m{b}:{li}:{bh[i, b]:016x}")
+                    out_fids.append(fi)
+        if cfg.use_path_key:
+            for i in range(n):
+                if stems[i]:
+                    keys.append(f"p:{langs[i]}:{stems[i]}")
+                    out_fids.append(fids[i])
+
+        return pa.table({
+            "block_key": pa.array(keys, pa.string()),
+            "file_id": pa.array(out_fids, pa.string()),
+        })
+
+    return reps.map_batches(explode, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def keyed_counts(ds: "ray.data.Dataset", key: str, batch_size: int = 65536) -> "ray.data.Dataset":
+    """Pre-aggregated distinct-key counts: combiner inside map_batches, then a
+    small groupby-sum over partials (guide: 'Aggregation at scale')."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch[key].to_pylist()).value_counts()
+        return pa.table({key: pa.array(vc.index.astype(str)), "cnt": pa.array(vc.values, pa.int64())})
+
+    partials = ds.select_columns([key]).map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    return partials.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def strip_salt(key: str) -> str:
+    """Logical blocking key of a physically-salted key (drop '#<salt>')."""
+    i = key.rfind("#")
+    return key[:i] if i >= 0 else key
+
+
+def salt_hot_keys(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.Dataset":
+    """Split any block key with > salt_cap rows into salted `key#<salt>`
+    sub-blocks (deterministic id-hash) with ring-overlap bridge rows."""
+    counts = keyed_counts(block_rows, "block_key")
+    hot_tbl = counts.filter(expr=f"cnt > {cfg.salt_cap}").to_pandas()
+    if len(hot_tbl) == 0:
+        return block_rows
+    hot = {k: int(math.ceil(c / cfg.salt_cap)) for k, c in zip(hot_tbl["block_key"], hot_tbl["cnt"])}
+    hot_ref = ray.put(hot)
+    bridge_rate = cfg.bridge_rate
+
+    def apply_salt(batch: pa.Table) -> pa.Table:
+        hot_map = ray.get(hot_ref)  # zero-copy shared read per task, not per batch
+        keys = batch["block_key"].to_pylist()
+        fids = batch["file_id"].to_pylist()
+        out_keys: list[str] = []
+        out_fids: list[str] = []
+        for k, f in zip(keys, fids):
+            nsalt = hot_map.get(k)
+            if nsalt is None:
+                out_keys.append(k)
+                out_fids.append(f)
+                continue
+            h = hashing.fnv1a_str(f)
+            s = h % nsalt
+            out_keys.append(f"{k}#{s}")
+            out_fids.append(f)
+            if (h >> 32) % bridge_rate == 0:  # ring-overlap bridge row
+                out_keys.append(f"{k}#{(s + 1) % nsalt}")
+                out_fids.append(f)
+        return pa.table({
+            "block_key": pa.array(out_keys, pa.string()),
+            "file_id": pa.array(out_fids, pa.string()),
+        })
+
+    return block_rows.map_batches(apply_salt, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def generate_pairs(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.Dataset":
+    """groupby(block_key) -> windowed within-block pair enumeration -> dedup.
+
+    Within a block sorted by file_id: all O(n^2)/2 pairs when n <= all_pairs_max,
+    otherwise each row links to its next `pair_window` neighbors (sorted
+    neighborhood -- connected, bounded fan-out; transitive clustering recovers
+    the full cluster). Cross-key duplicates collapse via a vectorized
+    groupby-min on (id_a, id_b) (reference analog: edge dedup,
+    special_partition.pyx:363-389).
+    """
+    W = cfg.pair_window
+    all_max = cfg.all_pairs_max
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["file_id"].values)  # sorted unique
+        n = ids.size
+        if n < 2:
+            return _EMPTY_PAIRS.copy()
+        if n <= all_max:
+            iu = np.triu_indices(n, k=1)
+            ia, ib = iu
+        else:
+            ia = np.concatenate([np.arange(0, n - w) for w in range(1, W + 1)])
+            ib = np.concatenate([np.arange(w, n) for w in range(1, W + 1)])
+        return pd.DataFrame({
+            "id_a": ids[ia], "id_b": ids[ib],
+            "block_key": g["block_key"].iloc[0],
+        })
+
+    pairs = block_rows.groupby("block_key").map_groups(pairs_of_group, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("block_key", alias_name="block_key"))
+
+
+_EMPTY_PAIRS = pd.DataFrame({
+    "id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
+    "block_key": pd.Series(dtype=str),
+})
+
+# feature columns each pair side needs for scoring
+_FEATS = ["file_id", "path_norm", "sig", "tfvec"]
+
+
+def attach_pair_features(
+    pairs: "ray.data.Dataset", reps: "ray.data.Dataset", cfg: LinkageConfig
+) -> "ray.data.Dataset":
+    """Hash-join the per-side sketch features onto deduplicated pairs.
+
+    Two partitioned joins (on id_a, then id_b) against the representative
+    feature table -- the at-scale replacement for carrying KB-sized payloads
+    through the blocking shuffles.
+    """
+    feats = reps.select_columns(_FEATS)
+    P = cfg.join_partitions
+
+    a = hash_join(
+        pairs, feats, "inner", P, on=("id_a",), right_on=("file_id",),
+        right_suffix="_ra",
+    ).map_batches(
+        lambda t: pa.table({
+            "id_a": t["id_a"], "id_b": t["id_b"], "block_key": t["block_key"],
+            "path_a": t["path_norm"], "sig_a": t["sig"], "vec_a": t["tfvec"],
+        }),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        a, feats, "inner", P, on=("id_b",), right_on=("file_id",),
+        right_suffix="_rb",
+    ).map_batches(
+        lambda t: pa.table({
+            "id_a": t["id_a"], "id_b": t["id_b"], "block_key": t["block_key"],
+            "path_a": t["path_a"], "sig_a": t["sig_a"], "vec_a": t["vec_a"],
+            "path_b": t["path_norm"], "sig_b": t["sig"], "vec_b": t["tfvec"],
+        }),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,174 @@
+"""Stage 3 -- transitive clustering: distributed connected components.
+
+The reference collapses the scored edge graph with single-node scipy
+`connected_components` + a Cython greedy partition
+(eval_cluster_linking.py:90-146, special_partition.pyx:288-356). That cannot
+hold a 10^12-node edge list in one process, so this stage is a distributed
+min-label propagation with pointer jumping:
+
+- state: labels Dataset ``(node, label)``, initialized label = node;
+- propagate round: every node takes the min label over itself and its
+  neighbors (one hash join edges><labels + one groupby-min);
+- pointer-jump round: label <- label(label) (labels self-join), giving
+  O(log diameter) convergence on chain-shaped blocks from windowed pair
+  generation;
+- convergence: order-independent XOR checksum of (node,label) repeated
+  between rounds (cheap single-row-per-batch reduce).
+
+The final label IS the component's minimum file_id, i.e. the canonical
+representative (reference analog: `analyzeClusters` picks the lowest-index
+entity per component, eval_cluster_linking.py:186-219).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from biomedical_entity_linking_ray.config import LinkageConfig
+from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
+from ray.data.aggregate import Min
+
+
+_NODE_CAND = pa.schema([("node", pa.string()), ("cand", pa.string())])
+_NODE_LABEL = pa.schema([("node", pa.string()), ("label", pa.string())])
+_ASSIGN3 = pa.schema([
+    ("file_id", pa.string()), ("cluster_id", pa.string()), ("canonical_id", pa.string()),
+])
+
+
+def _bidirect(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(id_a,id_b) -> (node,nbr) in both directions."""
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["id_a"], "nbr": t["id_b"]})
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["id_b"], "nbr": t["id_a"]})
+
+    e = edges.select_columns(["id_a", "id_b"])
+    return e.map_batches(fwd, batch_format="pyarrow").union(
+        e.map_batches(rev, batch_format="pyarrow")
+    )
+
+
+def _checksum(labels: "ray.data.Dataset") -> int:
+    """Order-independent XOR of fnv64(node|label) -- equal checksums across a
+    round imply (whp) no label changed."""
+
+    def batch_xor(t: pa.Table) -> pa.Table:
+        x = np.uint64(0)
+        for nd, lb in zip(t["node"].to_pylist(), t["label"].to_pylist()):
+            x ^= np.uint64(hashing.fnv1a_str(f"{nd}|{lb}"))
+        return pa.table({"x": pa.array([int(x)], pa.uint64())})
+
+    acc = 0
+    for row in labels.map_batches(batch_xor, batch_format="pyarrow").take_all():
+        acc ^= int(row["x"])
+    return acc
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    nodes: "ray.data.Dataset",
+    cfg: LinkageConfig,
+) -> "ray.data.Dataset":
+    """edges(id_a,id_b,...), nodes(file_id,...) -> (file_id, cluster_id, canonical_id).
+
+    Singleton nodes (no surviving edge) keep their own id as cluster id.
+    """
+    P = cfg.join_partitions
+
+    # Only nodes that touch an edge can change label -- restrict the iteration
+    # to them (typically a small fraction of the corpus); singletons are
+    # emitted directly with label = self at the end.
+    e_bi = _bidirect(edges).materialize()
+    has_edges = e_bi.count() > 0
+    # distributed distinct: per-batch dedup (combiner) then groupby-min --
+    # never collects node ids on the driver
+    labels = (
+        e_bi.map_batches(
+            lambda t: pa.table({
+                "node": pa.array(sorted(set(t["node"].to_pylist())), pa.string()),
+            }),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["node"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("cand", alias_name="label"))
+        .materialize()
+    )
+
+    prev = _checksum(labels)
+    for _ in range(cfg.max_rounds):
+        if not has_edges:
+            break
+        # --- propagate: cand(node) = labels of neighbors ---
+        msgs = hash_join(
+            e_bi, labels, "inner", P, on=("node",)
+        ).map_batches(
+            heal_projection(
+                _NODE_CAND, lambda t: pa.table({"node": t["nbr"], "cand": t["label"]})
+            ),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            own.union(msgs)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        # --- pointer jump: label <- label(label) ---
+        parents = labels.map_batches(
+            lambda t: pa.table({"pnode": t["node"], "plabel": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = hash_join(
+            labels, parents, "inner", P, on=("label",), right_on=("pnode",)
+        ).map_batches(
+            heal_projection(
+                _NODE_LABEL, lambda t: pa.table({"node": t["node"], "label": t["plabel"]})
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    clustered = labels.map_batches(
+        lambda t: pa.table({
+            "file_id": t["node"],
+            "cluster_id": t["label"],
+            "canonical_id": t["label"],
+        }),
+        batch_format="pyarrow",
+    )
+    # singletons: nodes with no surviving edge keep their own id (anti join)
+    all_nodes = nodes.select_columns(["file_id"])
+    if has_edges:
+        singles = hash_join(
+            all_nodes, labels, "left_anti", P, on=("file_id",), right_on=("node",)
+        )
+    else:
+        singles = all_nodes
+    singles = singles.map_batches(
+        heal_projection(_ASSIGN3, lambda t: pa.table({
+            "file_id": t["file_id"],
+            "cluster_id": t["file_id"],
+            "canonical_id": t["file_id"],
+        })),
+        batch_format="pyarrow",
+    )
+    return clustered.union(singles) if has_edges else singles

@@ -1,0 +1,50 @@
+"""Stage 0.5 -- exact-duplicate contraction by content_sha.
+
+Rows with identical content form a clique by definition; scoring them
+pairwise is pure waste (a 10^8-copy vendored file would be 10^15 pairs).
+One groupby-min assigns every row to the representative = min(file_id) of its
+content_sha group; blocking / scoring / clustering then run over unique
+contents only, and members inherit their representative's cluster at the end.
+
+This is the reference's exact-dedup step (bigbio_utils.py:256-268, D1 in
+SURVEY.md 2.7) promoted to a graph contraction. It also collapses the exact
+hot block before the shuffle ever sees it -- salting then only has to handle
+*near-dup* hot families and generic path-stem keys.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from biomedical_entity_linking_ray.config import LinkageConfig
+from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
+
+
+def exact_contract(
+    feats: "ray.data.Dataset", cfg: LinkageConfig
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """feature table -> (members, reps).
+
+    members: (file_id, rep_id, content_sha)  -- every input row
+    reps:    feature rows where file_id == rep_id (one per unique content)
+    """
+    sha_rep = (
+        feats.select_columns(["content_sha", "file_id"])
+        .groupby("content_sha")
+        .aggregate(Min("file_id", alias_name="rep_id"))
+    )
+    members = hash_join(
+        feats, sha_rep, "inner", cfg.join_partitions, on=("content_sha",)
+    )
+    feat_schema = feats.schema().base_schema
+    mem_schema = feat_schema.append(pa.field("rep_id", pa.string()))
+    members = members.map_batches(
+        heal_projection(mem_schema, lambda t: t.select(mem_schema.names)),
+        batch_format="pyarrow",
+    )
+    reps = members.filter(expr="file_id == rep_id")
+    members_skinny = members.select_columns(["file_id", "rep_id", "content_sha"])
+    return members_skinny, reps

@@ -1,0 +1,135 @@
+"""Stage 4 -- pairwise evaluation vs gold labeled pairs at shared blocking key.
+
+The north rule's quality gate: pairwise F1 >= 0.99 on labeled pairs whose two
+sides share at least one *logical* blocking key (reference analog: recall@k /
+accuracy vs gold CUIs, bioel/bioel/evaluate.py:234-260 -- quality is measured
+on the candidate-retrievable set, here the co-blocked set).
+
+Logical co-blocking accounts for the physical pipeline transforms:
+- exact contraction: two rows with the same content_sha share every key by
+  definition (same representative);
+- salting: `key#3` vs `key#7` are the same logical key (salt is partitioning,
+  not semantics) -- suffixes are stripped before comparison.
+
+The gold-pair table is small by construction (FIXTURES.md 2), so membership /
+label lookups for exactly the gold ids are pulled via a broadcast semi-filter
+(`ray.put` of the id set, vectorized `is_in` inside map_batches) -- no shuffle
+of the big side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from biomedical_entity_linking_ray.stages.blocking import strip_salt
+
+
+def _filter_to_ids(ds: "ray.data.Dataset", cols: list[str], id_col: str, ids_ref) -> pd.DataFrame:
+    def flt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        mask = pc.is_in(t[id_col], value_set=pa.array(list(ids), pa.string()))
+        return t.select(cols).filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow").to_pandas()
+
+
+def _gold_context(
+    gold_pairs: pd.DataFrame,
+    members: "ray.data.Dataset",
+    block_rows: "ray.data.Dataset",
+):
+    """(rep_of, keys_of_rep) lookup tables restricted to the gold ids."""
+    ids = set(gold_pairs["id_a"]) | set(gold_pairs["id_b"])
+    ids_ref = ray.put(ids)
+    mem_df = _filter_to_ids(members, ["file_id", "rep_id"], "file_id", ids_ref)
+    rep_of = dict(zip(mem_df["file_id"], mem_df["rep_id"]))
+
+    reps_ref = ray.put(set(rep_of.values()))
+    blk_df = _filter_to_ids(block_rows, ["file_id", "block_key"], "file_id", reps_ref)
+    keys_of: dict[str, set] = {}
+    for f, k in zip(blk_df["file_id"], blk_df["block_key"]):
+        keys_of.setdefault(f, set()).add(strip_salt(k))
+    return rep_of, keys_of
+
+
+def _co_blocked(a: str, b: str, rep_of: dict, keys_of: dict) -> bool:
+    ra, rb = rep_of.get(a), rep_of.get(b)
+    if ra is None or rb is None:
+        return False
+    if ra == rb:  # identical content: same key set by definition
+        return True
+    return bool(keys_of.get(ra, set()) & keys_of.get(rb, set()))
+
+
+def pairwise_f1(
+    gold_pairs: pd.DataFrame,          # id_a, id_b, label (small, driver-side)
+    assignments: "ray.data.Dataset",   # file_id, cluster_id
+    block_rows: "ray.data.Dataset",    # block_key, file_id (reps, post-salting)
+    members: "ray.data.Dataset",       # file_id, rep_id
+) -> dict:
+    rep_of, keys_of = _gold_context(gold_pairs, members, block_rows)
+
+    ids = set(gold_pairs["id_a"]) | set(gold_pairs["id_b"])
+    ids_ref = ray.put(ids)
+    lab_df = _filter_to_ids(assignments, ["file_id", "cluster_id"], "file_id", ids_ref)
+    label_of = dict(zip(lab_df["file_id"], lab_df["cluster_id"]))
+
+    # F1 on labeled pairs AT A SHARED LOGICAL BLOCKING KEY (the north rule's
+    # conditioning); positives never co-blocked are tracked separately in
+    # `missed_by_blocking` / `f1_strict`.
+    tp = fp = fn = tn = 0
+    missed_by_blocking = 0
+    n_evaluable = 0
+    for a, b, lbl in zip(gold_pairs["id_a"], gold_pairs["id_b"], gold_pairs["label"]):
+        if not _co_blocked(a, b, rep_of, keys_of):
+            if lbl == 1:
+                missed_by_blocking += 1
+            continue
+        n_evaluable += 1
+        pred = label_of.get(a) is not None and label_of.get(a) == label_of.get(b)
+        if pred and lbl == 1:
+            tp += 1
+        elif pred and lbl == 0:
+            fp += 1
+        elif not pred and lbl == 1:
+            fn += 1
+        else:
+            tn += 1
+
+    def _prf(tp_, fp_, fn_):
+        p = tp_ / (tp_ + fp_) if tp_ + fp_ else 1.0
+        r = tp_ / (tp_ + fn_) if tp_ + fn_ else 1.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f
+
+    precision, recall, f1 = _prf(tp, fp, fn)
+    _, recall_strict, f1_strict = _prf(tp, fp, fn + missed_by_blocking)
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "missed_by_blocking": missed_by_blocking,
+        "n_gold": len(gold_pairs), "n_evaluable": n_evaluable,
+        "precision": precision, "recall": recall, "f1": f1,
+        "recall_strict": recall_strict, "f1_strict": f1_strict,
+    }
+
+
+def blocking_recall(
+    gold_pairs: pd.DataFrame,
+    block_rows: "ray.data.Dataset",
+    members: "ray.data.Dataset",
+) -> float:
+    """Fraction of gold positives whose sides share >= 1 logical block key."""
+    pos = gold_pairs[gold_pairs["label"] == 1]
+    if len(pos) == 0:
+        return 1.0
+    rep_of, keys_of = _gold_context(pos, members, block_rows)
+    hits = sum(
+        1 for a, b in zip(pos["id_a"], pos["id_b"])
+        if _co_blocked(a, b, rep_of, keys_of)
+    )
+    return hits / len(pos)

@@ -1,0 +1,104 @@
+"""Stage 0 -- normalization + content features over zero-copy Arrow batches.
+
+One pass over the raw files table computing, per row:
+- ``file_id``     sha256(repo|path|commit)      (stable identity)
+- ``content_sha`` sha256(raw content)           (the per-row invariant column)
+- ``path_norm`` / ``stem``                      (for Jaro-Winkler + path keys)
+- ``sig``         MinHash signature, binary (num_perm x uint64 LE bytes)
+- ``tfvec``       hashed-TF unit vector, binary (tf_dim x float32 LE bytes)
+
+Sketches travel as opaque binary: Arrow binary columns pass through hash
+joins / shuffles untouched (acero rejects fixed_size_list payloads) and
+decode zero-copy with ``np.frombuffer`` at the consumer.
+- ``n_tokens``    token count (cheap quality stat)
+
+``content`` is DROPPED from the output: every downstream shuffle moves only
+ids + fixed-size sketches (SURVEY.md 7.4 "Very wide rows"). At 100 TB the
+raw bytes are read exactly once, in this stage.
+
+Reference analog: `dataset_to_df` normalization (bigbio_utils.py:163-299) +
+TF-IDF char-ngram vectorization (scispacy_embeddings.py:143-159), re-expressed
+as a stateful actor-pool `map_batches` (MinHasher built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from biomedical_entity_linking_ray.config import LinkageConfig
+from biomedical_entity_linking_ray.functions import hashing, strings
+from biomedical_entity_linking_ray.functions.ids import content_sha_of, file_id_of
+
+
+FEATURE_SCHEMA = pa.schema([
+    ("file_id", pa.string()), ("content_sha", pa.string()),
+    ("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+    ("lang", pa.string()), ("path_norm", pa.string()), ("stem", pa.string()),
+    ("n_tokens", pa.int64()), ("sig", pa.binary()), ("tfvec", pa.binary()),
+])
+
+
+class FeatureExtractor:
+    """Actor-pool callable: per-actor state = MinHash permutation table."""
+
+    def __init__(self, cfg: LinkageConfig):
+        self.cfg = cfg
+        self.hasher = hashing.MinHasher(cfg.num_perm, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        commits = batch["commit"].to_pylist()
+        contents = batch["content"].to_pylist()
+
+        n = len(repos)
+        file_ids = [file_id_of(r, p, c) for r, p, c in zip(repos, paths, commits)]
+        shas = [content_sha_of(c) for c in contents]
+        path_norms = [strings.normalize_path(p) for p in paths]
+        stems = [strings.path_stem(p) for p in paths]
+
+        sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
+        vecs = np.empty((n, cfg.tf_dim), dtype=np.float32)
+        n_tokens = np.empty(n, dtype=np.int64)
+        for i, content in enumerate(contents):
+            norm = strings.normalize_content(content)
+            sh = hashing.char_shingle_hashes(norm, cfg.shingle_k, cfg.max_shingles)
+            sigs[i] = self.hasher.signature(sh)
+            vecs[i] = hashing.hashed_tf_vector(sh, cfg.tf_dim)
+            n_tokens[i] = norm.count(" ") + 1 if norm else 0
+
+        out = pa.table({
+            "file_id": pa.array(file_ids, pa.string()),
+            "content_sha": pa.array(shas, pa.string()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "path_norm": pa.array(path_norms, pa.string()),
+            "stem": pa.array(stems, pa.string()),
+            "n_tokens": pa.array(n_tokens),
+            "sig": pa.array([sigs[i].tobytes() for i in range(n)], pa.binary()),
+            "tfvec": pa.array([vecs[i].tobytes() for i in range(n)], pa.binary()),
+        })
+        return out
+
+
+def compute_features(
+    files: "ray.data.Dataset",
+    cfg: LinkageConfig,
+    concurrency: int | None = 4,
+) -> "ray.data.Dataset":
+    """files(repo,path,commit,lang,content) -> feature table (content dropped)."""
+    return files.map_batches(
+        FeatureExtractor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,80 @@
+"""Unit tests for the deterministic hashing/sketch kernels."""
+
+import numpy as np
+
+from biomedical_entity_linking_ray.functions import hashing, strings
+
+
+def test_fnv1a_deterministic():
+    assert hashing.fnv1a_str("hello") == hashing.fnv1a_str("hello")
+    assert hashing.fnv1a_str("hello") != hashing.fnv1a_str("hellp")
+    # reference value of FNV-1a 64 for empty input is the offset basis
+    assert hashing.fnv1a_bytes(b"") == 0xCBF29CE484222325
+
+
+def test_char_shingles():
+    h = hashing.char_shingle_hashes("abcdef", 3)
+    assert h.size == 4  # abc bcd cde def
+    assert np.array_equal(h, np.sort(h))
+    # short text still produces one shingle
+    assert hashing.char_shingle_hashes("ab", 5).size == 1
+    assert hashing.char_shingle_hashes("", 5).size == 1
+
+
+def test_minhash_jaccard_estimate():
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 2**63, size=1000).astype(np.uint64)
+    # 80% overlap set
+    other = np.concatenate([base[:800], rng.randint(0, 2**63, size=200).astype(np.uint64)])
+    mh = hashing.MinHasher(256, seed=42)
+    sa, sb = mh.signature(np.unique(base)), mh.signature(np.unique(other))
+    true_j = 800 / 1200
+    est = hashing.MinHasher.estimate_jaccard(sa, sb)
+    assert abs(est - true_j) < 0.08
+    # identical input -> identical signature
+    assert np.array_equal(mh.signature(base), mh.signature(base.copy()))
+
+
+def test_band_hashes_consistency():
+    mh = hashing.MinHasher(128, seed=1)
+    s = mh.signature(np.arange(100, dtype=np.uint64))
+    b1 = hashing.band_hashes(s, 21)
+    b2 = hashing.band_hashes_batch(s[None, :], 21)[0]
+    assert np.array_equal(b1, b2)
+
+
+def test_hashed_tf_vector_unit_norm():
+    v = hashing.hashed_tf_vector(np.arange(50, dtype=np.uint64), 128)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    assert hashing.hashed_tf_vector(np.zeros(0, dtype=np.uint64), 128).sum() == 0.0
+
+
+def test_simhash_near_far():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 2**63, size=500).astype(np.uint64)
+    near = np.concatenate([a[:450], rng.randint(0, 2**63, size=50).astype(np.uint64)])
+    far = rng.randint(0, 2**63, size=500).astype(np.uint64)
+    ha, hn, hf = (hashing.simhash64(x) for x in (a, near, far))
+    d_near = hashing.hamming64(np.array([ha], dtype=np.uint64), np.array([hn], dtype=np.uint64))[0]
+    d_far = hashing.hamming64(np.array([ha], dtype=np.uint64), np.array([hf], dtype=np.uint64))[0]
+    assert d_near < d_far
+
+
+def test_hamming64():
+    a = np.array([0b1010, 0], dtype=np.uint64)
+    b = np.array([0b0101, np.iinfo(np.uint64).max], dtype=np.uint64)
+    d = hashing.hamming64(a, b)
+    assert d.tolist() == [4, 64]
+
+
+def test_jaro_winkler():
+    assert strings.jaro_winkler("abc", "abc") == 1.0
+    assert strings.jaro_winkler("", "abc") == 0.0
+    # classic textbook value: MARTHA vs MARHTA
+    assert abs(strings.jaro_winkler("martha", "marhta") - 0.9611) < 0.001
+    assert strings.jaro_winkler("src/a/util.py", "src/b/util.py") > 0.8
+
+
+def test_path_helpers():
+    assert strings.path_stem("src/A/Util_v2.PY") == "util_v2"
+    assert strings.path_tokens("src/a/b.py") == ["src", "a", "b", "py"]

@@ -1,0 +1,100 @@
+"""End-to-end linkage pipeline assertions (FIXTURES.md 6 contract).
+
+1. per-row content_sha invariant preserved end-to-end;
+2. blocking recall: every gold positive co-blocked (logical keys, post-salt);
+3. pairwise F1 >= 0.99 vs gold pairs at shared blocking key;
+4. cluster assignments match golden canonical mapping;
+5. determinism: a second run produces identical assignments.
+"""
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from biomedical_entity_linking_ray.functions.ids import content_sha_of
+from biomedical_entity_linking_ray.stages.evaluation import blocking_recall, pairwise_f1
+
+
+def test_corpus_shape(small_corpus):
+    assert small_corpus.files.column_names == ["repo", "path", "commit", "lang", "content"]
+    assert small_corpus.files.num_rows > 100
+    gp = small_corpus.gold_pairs.to_pandas()
+    assert set(gp["label"]) == {0, 1}
+
+
+def test_sha_invariant(small_corpus, linkage_result):
+    cfg, res = linkage_result
+    raw = small_corpus.files.to_pandas()
+    raw["file_id_sha"] = [content_sha_of(c) for c in raw["content"]]
+    out = res.assignments.to_pandas()
+    assert len(out) == len(raw)
+    merged = out.merge(
+        raw[["repo", "path", "commit", "file_id_sha"]], on=["repo", "path", "commit"]
+    )
+    assert (merged["content_sha"] == merged["file_id_sha"]).all()
+
+
+def test_blocking_recall(small_corpus, linkage_result):
+    cfg, res = linkage_result
+    gp = small_corpus.gold_pairs.to_pandas()
+    assert blocking_recall(gp, res.block_rows, res.members) >= 0.99
+
+
+def test_pairwise_f1(small_corpus, linkage_result):
+    cfg, res = linkage_result
+    gp = small_corpus.gold_pairs.to_pandas()
+    m = pairwise_f1(gp, res.assignments, res.block_rows, res.members)
+    assert m["f1"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+
+
+def test_gold_cluster_agreement(small_corpus, linkage_result):
+    """Every gold cluster must land in one predicted cluster (purity both ways
+    on planted members)."""
+    cfg, res = linkage_result
+    gold = small_corpus.gold_clusters.to_pandas()
+    pred = res.assignments.to_pandas()[["file_id", "cluster_id"]]
+    j = gold.merge(pred, on="file_id", suffixes=("_gold", "_pred"))
+    # gold cluster -> exactly one predicted cluster
+    frag = j.groupby("cluster_id_gold")["cluster_id_pred"].nunique()
+    assert (frag == 1).all(), frag[frag > 1]
+
+
+def test_determinism_rerun(small_corpus, linkage_result):
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+
+    cfg, res = linkage_result
+    files = rd.from_arrow(small_corpus.files)
+    res2 = run_linkage(files, cfg, feature_concurrency=2)
+    a = res.assignments.to_pandas().sort_values("file_id").reset_index(drop=True)
+    b = res2.assignments.to_pandas().sort_values("file_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["file_id", "cluster_id", "canonical_id", "content_sha"]],
+        b[["file_id", "cluster_id", "canonical_id", "content_sha"]],
+    )
+
+
+def test_canonical_is_min_member(linkage_result):
+    cfg, res = linkage_result
+    df = res.assignments.to_pandas()
+    mins = df.groupby("cluster_id")["file_id"].min()
+    assert (df["canonical_id"].map(lambda c: c in mins.values)).all()
+    assert (mins.index == mins.values).all()  # cluster_id IS the min file_id
+
+
+def test_salting_preserves_connectivity(small_corpus):
+    """Tiny salt cap forces many sub-blocks; hot family must stay one cluster."""
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+
+    files = rd.from_arrow(small_corpus.files)
+    cfg = LinkageConfig(salt_cap=8, all_pairs_max=8, pair_window=4,
+                        join_partitions=4, scorer_concurrency=2)
+    res = run_linkage(files, cfg, feature_concurrency=2)
+    gold = small_corpus.gold_clusters.to_pandas()
+    hot_cid = gold.groupby("cluster_id").size().idxmax()
+    hot_ids = set(gold[gold["cluster_id"] == hot_cid]["file_id"])
+    pred = res.assignments.to_pandas()
+    got = pred[pred["file_id"].isin(hot_ids)]["cluster_id"].nunique()
+    assert got == 1, f"hot family fragmented into {got} clusters"
