@@ -1,0 +1,123 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline linkage pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and prints both times plus the
+scaling efficiency (sandbox proxy for the N -> 4N cluster-size rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline operator set: the flagship linkage job + one representative of each
+# family (aggregation, join, top-k, dedup, similarity, text)
+BENCH_QUERIES = [
+    "linkage_assignments",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "exact_dedup",
+    "minhash_near_dup",
+    "knn_bruteforce",
+    "token_counts",
+]
+
+
+def _consume(res) -> int:
+    """Force execution; return row count."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as ent
+
+    qs = ent.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    for t in ["lineitem", "orders", "documents", "embeddings"]:
+        with open(os.path.join(SF_DIR, f"{t}.parquet"), "rb") as f:
+            f.read()
+
+    total_t0 = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        rows[name] = _consume(qs[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - total_t0, 3)
+
+    out = {
+        "metric": "headline pipelines wall time (linkage + operator battery)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -16,7 +16,7 @@ import ray.data
 # Aggregators are I/O-bound accumulators: near-zero CPU reservation so that
 # several concurrent joins (feature attach is two back-to-back) plus a scoring
 # actor pool can't starve the map stages even on an 8-CPU node.
-AGG_REMOTE_ARGS = {"num_cpus": 0.1, "memory": 256 * 1024 * 1024}
+AGG_REMOTE_ARGS = {"num_cpus": 0.01, "memory": 256 * 1024 * 1024}
 
 
 def heal_projection(schema: "pa.Schema", build):

@@ -1,0 +1,350 @@
+"""Deduplication operators over the `documents` table.
+
+The training-data dedup family, each expressed Ray-Data-first:
+
+- exact dedup          hash-partition on sha256(text) + per-group min
+- MinHash + LSH        shingle -> minhash -> band -> bucket groupby -> verify
+- SimHash              64-bit simhash + banded prefix buckets + Hamming verify
+- n-gram Jaccard       exact trigram-set Jaccard on co-bucketed candidates
+- embedding cosine     near-dup by cosine over the embeddings table
+
+Reference analogs: D1 exact dedup (bigbio_utils.py:256-268); candidate
+generation + similarity scoring (scispacy_embeddings.py / sapbert utils) --
+near-dup IS the product in the target domain (SURVEY.md 2.7 note).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions.ids import content_sha_of
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, canonical_id): canonical = min doc_id among identical texts.
+
+    Pattern: vectorized sha256 inside map_batches, then ONE groupby-min on the
+    hash (hash-partition + per-group first) joined back -- no text moves
+    through the shuffle, only (sha, id).
+    """
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        shas = [content_sha_of(s) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "sha": pa.array(shas, pa.string())})
+
+    keyed = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_sha, batch_format="pyarrow", batch_size=4096
+    )
+    canon = keyed.groupby("sha").aggregate(Min("doc_id", alias_name="canonical_id"))
+    from biomedical_entity_linking_ray.functions.joins import hash_join
+
+    return hash_join(keyed, canon, "inner", 8, on=("sha",)).select_columns(
+        ["doc_id", "canonical_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class _DocSketcher:
+    """Actor: MinHash permutation table built once; emits per-doc signature."""
+
+    def __init__(self, num_perm: int, shingle_k: int, seed: int):
+        self.h = hashing.MinHasher(num_perm, seed)
+        self.k = shingle_k
+        self.num_perm = num_perm
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            sigs[i] = self.h.signature(hashing.char_shingle_hashes(s, self.k, 4096))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sig": pa.array([sigs[i].tobytes() for i in range(n)], pa.binary()),
+        })
+
+
+def minhash_near_dup_pairs(
+    sf_dir: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 4,
+    jaccard_threshold: float = 0.6,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, jaccard_est) candidate near-dup pairs above threshold.
+
+    shingle+minhash per batch -> explode (band, hash, doc) -> bucket groupby ->
+    within-bucket pairs -> signature-verified Jaccard filter (guide pattern).
+    """
+    sketches = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DocSketcher, fn_constructor_args=(num_perm, shingle_k, seed),
+        batch_format="pyarrow", batch_size=2048, concurrency=2,
+    ).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sigs = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        bh = hashing.band_hashes_batch(sigs, bands)
+        ids = t["doc_id"].to_pylist()
+        keys, out_ids = [], []
+        for i in range(n):
+            for b in range(bands):
+                keys.append(f"{b}:{bh[i, b]:016x}")
+                out_ids.append(ids[i])
+        return pa.table({
+            "bucket": pa.array(keys, pa.string()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+        })
+
+    buckets = sketches.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].values)
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        iu = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+
+    cand = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
+    from ray.data.aggregate import Count as _Count
+    cand = cand.groupby(["id_a", "id_b"]).aggregate(_Count(alias_name="nb")).select_columns(
+        ["id_a", "id_b"])  # distinct pairs
+
+    from biomedical_entity_linking_ray.functions.joins import hash_join
+
+    feats = sketches
+    j1 = hash_join(cand, feats, "inner", 8, on=("id_a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "sig_a": t["sig"]}),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(j1, feats, "inner", 8, on=("id_b",), right_on=("doc_id",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard_est": pa.array([], pa.float64())})
+        n = t.num_rows
+        sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        sb = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        j = (sa == sb).mean(axis=1)
+        keep = j >= jaccard_threshold
+        return pa.table({
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
+            "jaccard_est": pa.array(j[keep]),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_near_dup_pairs(
+    sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, hamming): SimHash with rotated-prefix bucketing.
+
+    4 rotations x 12-bit prefixes bucket candidates (near-identical simhashes
+    share at least one rotated prefix whp), Hamming-verified within buckets.
+    """
+
+    def sketch(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        hs = np.fromiter(
+            (hashing.simhash64(hashing.token_hashes(s)) for s in texts),
+            dtype=np.uint64, count=len(texts),
+        )
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs)})
+
+    sk = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sketch, batch_format="pyarrow", batch_size=2048
+    ).materialize()
+
+    rotations = 4
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hs = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        keys, out_ids, out_hs = [], [], []
+        for r in range(rotations):
+            rot = ((hs << np.uint64(r * 16)) | (hs >> np.uint64(64 - r * 16))).astype(np.uint64)
+            pref = (rot >> np.uint64(64 - prefix_bits)).astype(np.int64)
+            for i, p in enumerate(pref):
+                keys.append(f"{r}:{p}")
+                out_ids.append(ids[i])
+                out_hs.append(int(hs[i]))
+        return pa.table({
+            "bucket": pa.array(keys, pa.string()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "simhash": pa.array(np.asarray(out_hs, dtype=np.uint64)),
+        })
+
+    buckets = sk.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].values
+        hs = g["simhash"].values.astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        iu = np.triu_indices(ids.size, k=1)
+        d = hashing.hamming64(hs[iu[0]], hs[iu[1]])
+        keep = d <= max_hamming
+        return pd.DataFrame({"id_a": ids[iu[0]][keep], "id_b": ids[iu[1]][keep],
+                             "hamming": d[keep]})
+
+    pairs = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, verified on co-bucketed candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, jaccard) with EXACT token-n-gram Jaccard >= threshold.
+
+    Candidates come from MinHash-LSH buckets (cheap); the verify step recomputes
+    exact n-gram sets from the text via a feature join, so the output is an
+    exact-similarity operator, not an estimate.
+    """
+    cand = minhash_near_dup_pairs(sf_dir, jaccard_threshold=0.0)
+
+    def gram_sets(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = []
+        for s in texts:
+            toks = s.split()
+            grams = {" ".join(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))}
+            arr = np.fromiter((hashing.fnv1a_str(g) for g in grams), dtype=np.uint64,
+                              count=len(grams))
+            out.append(np.sort(arr).tobytes())
+        return pa.table({"doc_id": t["doc_id"], "grams": pa.array(out, pa.binary())})
+
+    feats = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gram_sets, batch_format="pyarrow", batch_size=2048
+    ).materialize()
+
+    from biomedical_entity_linking_ray.functions.joins import hash_join
+
+    j1 = hash_join(cand, feats, "inner", 8, on=("id_a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "grams_a": t["grams"]}),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(j1, feats, "inner", 8, on=("id_b",), right_on=("doc_id",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        ia, ib, js = [], [], []
+        for a, b, ga, gb in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(),
+                                t["grams_a"].to_pylist(), t["grams"].to_pylist()):
+            sa = np.frombuffer(ga, dtype=np.uint64)
+            sb = np.frombuffer(gb, dtype=np.uint64)
+            if sa.size == 0 and sb.size == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / (sa.size + sb.size - inter)
+            if jac >= threshold:
+                ia.append(a); ib.append(b); js.append(jac)
+        return pa.table({"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+                         "jaccard": pa.array(js, pa.float64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    sf_dir: str, threshold: float = 0.3, lsh_planes: int = 12, rotations: int = 3,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, cosine) over the embeddings table, cosine >= threshold.
+
+    Random-hyperplane LSH buckets (rotations x sign-prefix) bound the pair
+    enumeration; exact cosine verification inside each bucket.
+    """
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    rng = np.random.RandomState(seed)
+    planes = [rng.randn(lsh_planes, 64).astype(np.float32) for _ in range(rotations)]
+    import ray as _ray
+    planes_ref = _ray.put(planes)
+
+    def explode(t: pa.Table) -> pa.Table:
+        pls = _ray.get(planes_ref)
+        n = t.num_rows
+        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        ids = t["vec_id"].to_pylist()
+        keys, out_ids, out_vec = [], [], []
+        for r, P in enumerate(pls):
+            signs = (unit @ P.T) > 0  # (n, planes)
+            codes = (signs * (1 << np.arange(lsh_planes))).sum(axis=1)
+            for i in range(n):
+                keys.append(f"{r}:{codes[i]}")
+                out_ids.append(ids[i])
+                out_vec.append(unit[i].tobytes())
+        return pa.table({
+            "bucket": pa.array(keys, pa.string()),
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "unit": pa.array(out_vec, pa.binary()),
+        })
+
+    buckets = emb.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].values
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        M = np.frombuffer(b"".join(g["unit"].tolist()), dtype=np.float32).reshape(ids.size, -1)
+        sims = M @ M.T
+        iu = np.triu_indices(ids.size, k=1)
+        c = sims[iu]
+        keep = c >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0]][keep], "id_b": ids[iu[1]][keep],
+                             "cosine": c[keep].astype(np.float64)})
+
+    pairs = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))

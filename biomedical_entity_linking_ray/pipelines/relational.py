@@ -1,0 +1,340 @@
+"""Generic relational operator battery over the TPC-H-ish testdata tables.
+
+Each function is one Ray-Data-first operator pattern from SURVEY.md 2
+(aggregation with partial pre-agg, broadcast join, anti/semi join, top-k,
+windowed enumeration, union, value counts, tumbling windows), paired with an
+ANSI-SQL oracle string in ``SQL`` keyed by the same name. Float aggregates are
+rounded to 4 decimals on BOTH sides so the driver's value-hash comparison is
+insensitive to summation order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(ds: "ray.data.Dataset", cols: list[str], nd: int = 4) -> "ray.data.Dataset":
+    def fn(t: pa.Table) -> pa.Table:
+        for c in cols:
+            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], ndigits=nd))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A1/A5 analog: grouped aggregate with map-side partial aggregation
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q1-shaped summary: pre-aggregate per batch inside map_batches
+    (combiner), then groupby-sum the tiny partials -- the at-scale pattern for
+    skewless aggregation (reference analog: pandas groupby A1,
+    bigbio_utils.py:256-268, without the single-node materialization)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_revenue", alias_name="sum_revenue"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_revenue"])
+
+
+# ---------------------------------------------------------------------------
+# O2/O3 analog: global top-k with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return _round_cols(
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k),
+        ["o_totalprice"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J6 analog: broadcast (map-side) join of small dimension tables
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """orders |> broadcast-join customer(+nation) |> grouped revenue.
+
+    The dimension tables are read once driver-side, `ray.put` once, and each
+    batch does a vectorized pandas merge -- no shuffle of the fact table
+    (reference analog: every join in the reference is a broadcast dict lookup,
+    SURVEY.md 2.4)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]]
+    dim_ref = ray.put(dim)
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        df = t.to_pandas().merge(d, left_on="o_custkey", right_on="c_custkey", how="inner")
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        join_batch, batch_format="pyarrow", batch_size=65536
+    )
+    out = partials.groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+    )
+    return _round_cols(out, ["revenue"])
+
+
+# ---------------------------------------------------------------------------
+# J9 analog: anti join via broadcast key set
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(sf_dir: str, min_price: float = 300000.0) -> "ray.data.Dataset":
+    """Customers with no order above `min_price` -- anti join as a broadcast
+    key-set filter (guide: 'Semi / anti join'). The price floor keeps the
+    result non-empty at test scale."""
+    import pyarrow.parquet as pq
+
+    okeys = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filters=[("o_totalprice", ">", min_price)],
+    )["o_custkey"]
+    key_ref = ray.put(set(okeys.to_pylist()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = [k not in keys for k in t["c_custkey"].to_pylist()]
+        return t.filter(pa.array(mask))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 analog: semi join via broadcast key set
+# ---------------------------------------------------------------------------
+
+def parts_with_lineitems(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.parquet as pq
+
+    pkeys = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                          columns=["l_partkey"])["l_partkey"]
+    key_ref = ray.put(set(pkeys.to_pylist()))
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = pc.is_in(t["p_partkey"], value_set=pa.array(list(keys), pa.int64()))
+        return t.filter(mask)
+
+    return _round_cols(
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+            semi, batch_format="pyarrow"
+        ),
+        ["p_retailprice"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 analog: value counts
+# ---------------------------------------------------------------------------
+
+def event_type_counts(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+    return _round_cols(out, ["sum_value", "avg_value"])
+
+
+# ---------------------------------------------------------------------------
+# D6 analog: union of filtered splits
+# ---------------------------------------------------------------------------
+
+def union_order_extremes(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    hi = ds.filter(expr="o_totalprice > 400000.0")
+    lo = ds.filter(expr="o_totalprice < 1000.0")
+    return _round_cols(hi.union(lo), ["o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# A10/O1 analog: within-group ordered enumeration (mention-id assignment)
+# ---------------------------------------------------------------------------
+
+def lineitem_sequence(sf_dir: str) -> "ray.data.Dataset":
+    """Per-order line sequencing by (shipdate, linenumber) -- the target-domain
+    analog of per-document mention-id assignment (`make_mention_id`,
+    bigbio_utils.py:122-127): ordering is needed only WITHIN a group, so it is
+    a per-group sort in map_groups, never a global sort."""
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_shipdate", "l_linenumber"]).reset_index(drop=True)
+        g["seq"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["l_orderkey", "l_linenumber", "seq"]]
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]).groupby(
+        "l_orderkey"
+    ).map_groups(seq, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: tumbling window aggregate over the events log
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour windows per event_type: floor the timestamp inside
+    map_batches (no shuffle), then one grouped aggregate (guide:
+    'Streaming-shaped workloads')."""
+
+    def floor_hour(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "value": t["value"],
+        })
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        floor_hour, batch_format="pyarrow"
+    )
+    out = ds.groupby(["event_type", "hour"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return _round_cols(out, ["sum_value"])
+
+
+# ---------------------------------------------------------------------------
+# M12/M3 analog: predicate filter + projection pushed to the read
+# ---------------------------------------------------------------------------
+
+def high_value_lineitems(sf_dir: str) -> "ray.data.Dataset":
+    """Row filter pushed into the parquet scan (row-group pruning) + computed
+    column -- prune-at-the-read pattern."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_extendedprice") > 4000.0),
+    )
+
+    def net(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "net_price",
+            pc.round(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"])), ndigits=4),
+        )
+
+    return _round_cols(ds.map_batches(net, batch_format="pyarrow"), ["l_extendedprice", "l_discount"])
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles (DuckDB, same column names and rounding)
+# ---------------------------------------------------------------------------
+
+SQL: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               ROUND(SUM(o_totalprice), 4) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    """,
+    "parts_with_lineitems": """
+        SELECT p_partkey, p_name, ROUND(p_retailprice, 4) AS p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    "event_type_counts": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "union_order_extremes": """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_totalprice > 400000.0
+        UNION ALL
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_totalprice < 1000.0
+    """,
+    "lineitem_sequence": """
+        SELECT l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_shipdate, l_linenumber) AS seq
+        FROM lineitem
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "high_value_lineitems": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 4) AS l_extendedprice,
+               ROUND(l_discount, 4) AS l_discount,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+        FROM lineitem
+        WHERE l_extendedprice > 4000.0
+    """,
+}

@@ -1,0 +1,158 @@
+"""Similarity search over the `embeddings` table (list<float> column).
+
+The reference's dense-retrieval k-NN (FAISS flat / IVF,
+data_process.py:517-562; DenseFlatIndexer, run_entity_linking.py:50-163)
+re-expressed without an index server:
+
+- brute-force top-k: broadcast the query matrix once (`ray.put`), each batch
+  does one numpy matmul against it, per-batch local top-k, then a single
+  global top-k merge per query (O3 distributed-top-k pattern in SURVEY.md 2.6).
+- LSH-bucketed variant: the scale path -- random-hyperplane buckets bound the
+  candidate set per query (analog of IVF nlist/nprobe).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _read_embeddings(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def load_query_matrix(sf_dir: str, n_queries: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic queries: the first `n_queries` vectors of the table itself
+    (self-retrieval benchmark -- rank-1 hit must be the vector's own id)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)  # n smallest ids:
+    # deterministic + oracle-expressible (ORDER BY vec_id LIMIT n)
+    q = np.array(list(df["embedding"]), dtype=np.float64)
+    qids = df["vec_id"].to_numpy(dtype=np.int64)
+    return qids, q
+
+
+def knn_bruteforce(
+    sf_dir: str, k: int = 5, n_queries: int = 16,
+) -> "ray.data.Dataset":
+    """(query_id, rank, vec_id, cosine): exact top-k by cosine per query.
+
+    Query matrix broadcast via `ray.put` (read once per task, never per batch);
+    per-batch matmul + local top-k; global merge via groupby(query_id).
+    """
+    qids, Q = load_query_matrix(sf_dir, n_queries)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qu = Q / qn  # float64: matches the SQL oracle's cosine to ~1e-15
+    q_ref = ray.put((qids, Qu))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, Qu_ = ray.get(q_ref)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        Vu = V / vn
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        # round to 4 decimals BEFORE ranking so rank ties break identically
+        # in Ray and in the DuckDB oracle (both then tie-break by vec_id)
+        sims = np.round(Qu_ @ Vu.T, 4)  # (q, n)
+        kk = min(k, ids.size)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            out_q.extend([int(qids_[qi])] * kk)
+            out_v.extend(ids[top[qi]].tolist())
+            out_s.extend(sims[qi, top[qi]].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=4096
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def knn_lsh(
+    sf_dir: str, k: int = 5, n_queries: int = 16,
+    lsh_planes: int = 8, rotations: int = 4, seed: int = 42,
+) -> "ray.data.Dataset":
+    """Approximate top-k: random-hyperplane buckets (rotations x sign-code);
+    a query only scores vectors sharing >= 1 bucket (IVF-style pruning)."""
+    qids, Q = load_query_matrix(sf_dir, n_queries)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qu = (Q / qn).astype(np.float32)
+    rng = np.random.RandomState(seed)
+    planes = [rng.randn(lsh_planes, Q.shape[1]).astype(np.float32) for _ in range(rotations)]
+    Qu = Qu.astype(np.float32)
+
+    q_buckets: dict[str, list[int]] = {}
+    for r, P in enumerate(planes):
+        codes = ((Qu @ P.T) > 0) @ (1 << np.arange(lsh_planes))
+        for i, c in enumerate(codes):
+            q_buckets.setdefault(f"{r}:{int(c)}", []).append(i)
+    bc_ref = ray.put((qids, Qu, planes, q_buckets))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, Qu_, planes_, qb = ray.get(bc_ref)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        Vu = V / vn
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        # which queries share a bucket with which vectors
+        cand_mask = np.zeros((len(qids_), ids.size), dtype=bool)
+        for r, P in enumerate(planes_):
+            codes = ((Vu @ P.T) > 0) @ (1 << np.arange(P.shape[0]))
+            for j, c in enumerate(codes):
+                for qi in qb.get(f"{r}:{int(c)}", ()):
+                    cand_mask[qi, j] = True
+        sims = Qu_ @ Vu.T
+        sims[~cand_mask] = -2.0  # outside candidate set
+        kk = min(k, ids.size)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            for j in top[qi]:
+                if sims[qi, j] > -2.0:
+                    out_q.append(int(qids_[qi]))
+                    out_v.append(int(ids[j]))
+                    out_s.append(float(sims[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=4096
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

@@ -36,6 +36,7 @@ from ray.data.aggregate import Min, Sum
 
 from biomedical_entity_linking_ray.config import LinkageConfig
 from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 from biomedical_entity_linking_ray.functions.joins import hash_join
 
 
@@ -91,7 +92,7 @@ def keyed_counts(ds: "ray.data.Dataset", key: str, batch_size: int = 65536) -> "
         return pa.table({key: pa.array(vc.index.astype(str)), "cnt": pa.array(vc.values, pa.int64())})
 
     partials = ds.select_columns([key]).map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    return partials.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+    return bucketed_aggregate(partials, [key], {"cnt": ("cnt", "sum")})
 
 
 def strip_salt(key: str) -> str:
@@ -151,24 +152,65 @@ def generate_pairs(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.d
     W = cfg.pair_window
     all_max = cfg.all_pairs_max
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["file_id"].values)  # sorted unique
-        n = ids.size
-        if n < 2:
+    # Most block keys are singletons (a band hash shared by nobody) and can
+    # never produce a pair; dropping them BEFORE the groupby removes ~90% of
+    # the groups and their per-group overhead. The multi-key table comes from
+    # the pre-aggregated counts (tiny) and the filter is a distributed
+    # left-semi hash join -- no driver-side key set at scale.
+    counts = keyed_counts(block_rows, "block_key")
+    multi = counts.filter(expr=f"cnt >= 2").select_columns(["block_key"])
+    block_rows = hash_join(
+        block_rows, multi, "left_semi", cfg.join_partitions, on=("block_key",)
+    )
+
+    # Coarse bucketing: per-group map_groups overhead (~ms/group) dominates
+    # when there are 10^4+ blocks, so blocks are hashed into a bounded number
+    # of buckets and ALL groups inside a bucket are enumerated by one
+    # vectorized pass (sort + run-length boundaries + numpy index math).
+    n_buckets = max(cfg.join_partitions * 4, 16)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["block_key"].to_pylist()
+        b = np.fromiter(
+            (hashing.fnv1a_str(k) % n_buckets for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        return t.append_column("bucket", pa.array(b))
+
+    bucketed = block_rows.map_batches(add_bucket, batch_format="pyarrow")
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["block_key", "file_id"]).sort_values(["block_key", "file_id"])
+        keys = g["block_key"].to_numpy()
+        ids = g["file_id"].to_numpy()
+        n = len(g)
+        if n == 0:
             return _EMPTY_PAIRS.copy()
-        if n <= all_max:
-            iu = np.triu_indices(n, k=1)
-            ia, ib = iu
-        else:
-            ia = np.concatenate([np.arange(0, n - w) for w in range(1, W + 1)])
-            ib = np.concatenate([np.arange(w, n) for w in range(1, W + 1)])
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        ia_all: list[np.ndarray] = []
+        ib_all: list[np.ndarray] = []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            if ln <= all_max:
+                iu = np.triu_indices(ln, k=1)
+                ia, ib = iu[0] + s, iu[1] + s
+            else:
+                ia = np.concatenate([np.arange(s, s + ln - w) for w in range(1, W + 1)])
+                ib = np.concatenate([np.arange(s + w, s + ln) for w in range(1, W + 1)])
+            ia_all.append(ia)
+            ib_all.append(ib)
+        if not ia_all:
+            return _EMPTY_PAIRS.copy()
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
         return pd.DataFrame({
-            "id_a": ids[ia], "id_b": ids[ib],
-            "block_key": g["block_key"].iloc[0],
+            "id_a": ids[ia], "id_b": ids[ib], "block_key": keys[ia],
         })
 
-    pairs = block_rows.groupby("block_key").map_groups(pairs_of_group, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("block_key", alias_name="block_key"))
+    pairs = bucketed.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
+    return bucketed_aggregate(pairs, ["id_a", "id_b"], {"block_key": ("block_key", "min")})
 
 
 _EMPTY_PAIRS = pd.DataFrame({

@@ -29,6 +29,7 @@ import ray.data
 
 from biomedical_entity_linking_ray.config import LinkageConfig
 from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
 from ray.data.aggregate import Min
 
@@ -89,21 +90,15 @@ def connected_components(
     has_edges = e_bi.count() > 0
     # distributed distinct: per-batch dedup (combiner) then groupby-min --
     # never collects node ids on the driver
-    labels = (
+    labels = bucketed_aggregate(
         e_bi.map_batches(
             lambda t: pa.table({
-                "node": pa.array(sorted(set(t["node"].to_pylist())), pa.string()),
+                "node": t["node"], "cand": t["node"],
             }),
             batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda t: pa.table({"node": t["node"], "cand": t["node"]}),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Min("cand", alias_name="label"))
-        .materialize()
-    )
+        ),
+        ["node"], {"label": ("cand", "min")},
+    ).materialize()
 
     prev = _checksum(labels)
     for _ in range(cfg.max_rounds):
@@ -122,19 +117,17 @@ def connected_components(
             lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
             batch_format="pyarrow",
         )
-        labels = (
-            own.union(msgs)
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .materialize()
+        propagated = bucketed_aggregate(
+            own.union(msgs), ["node"], {"label": ("cand", "min")}
         )
-        # --- pointer jump: label <- label(label) ---
-        parents = labels.map_batches(
+        # --- pointer jump: label <- label(label), fused into the same
+        # execution (one materialize per round, not two) ---
+        parents = propagated.map_batches(
             lambda t: pa.table({"pnode": t["node"], "plabel": t["label"]}),
             batch_format="pyarrow",
         )
         labels = hash_join(
-            labels, parents, "inner", P, on=("label",), right_on=("pnode",)
+            propagated, parents, "inner", P, on=("label",), right_on=("pnode",)
         ).map_batches(
             heal_projection(
                 _NODE_LABEL, lambda t: pa.table({"node": t["node"], "label": t["plabel"]})

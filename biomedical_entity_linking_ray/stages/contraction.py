@@ -31,10 +31,11 @@ def exact_contract(
     members: (file_id, rep_id, content_sha)  -- every input row
     reps:    feature rows where file_id == rep_id (one per unique content)
     """
-    sha_rep = (
-        feats.select_columns(["content_sha", "file_id"])
-        .groupby("content_sha")
-        .aggregate(Min("file_id", alias_name="rep_id"))
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    sha_rep = bucketed_aggregate(
+        feats.select_columns(["content_sha", "file_id"]),
+        ["content_sha"], {"rep_id": ("file_id", "min")},
     )
     members = hash_join(
         feats, sha_rep, "inner", cfg.join_partitions, on=("content_sha",)

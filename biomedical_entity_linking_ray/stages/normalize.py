@@ -89,10 +89,20 @@ class FeatureExtractor:
         return out
 
 
+def pool_size(requested: int) -> int:
+    """Clamp an actor-pool size so pools never reserve every core: a pool
+    equal to num_cpus starves the read/shuffle stages and the streaming
+    executor deadlocks (observed at num_cpus=4)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(requested, cpus - 2)) if cpus > 2 else 1
+
+
 def compute_features(
     files: "ray.data.Dataset",
     cfg: LinkageConfig,
-    concurrency: int | None = 4,
+    concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """files(repo,path,commit,lang,content) -> feature table (content dropped)."""
     return files.map_batches(
@@ -100,5 +110,5 @@ def compute_features(
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency or 8),
     )

@@ -89,12 +89,14 @@ def score_pairs(
     cfg: LinkageConfig,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
+    from biomedical_entity_linking_ray.stages.normalize import pool_size
+
     return pairs_with_feats.map_batches(
         PairScorer,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
-        concurrency=concurrency or cfg.scorer_concurrency,
+        concurrency=pool_size(concurrency or cfg.scorer_concurrency),
     )
 
 
