@@ -96,9 +96,11 @@ def minhash_near_dup_pairs(
     shingle+minhash per batch -> explode (band, hash, doc) -> bucket groupby ->
     within-bucket pairs -> signature-verified Jaccard filter (guide pattern).
     """
+    from biomedical_entity_linking_ray.stages.normalize import pool_size
+
     sketches = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         _DocSketcher, fn_constructor_args=(num_perm, shingle_k, seed),
-        batch_format="pyarrow", batch_size=2048, concurrency=2,
+        batch_format="pyarrow", batch_size=1024, concurrency=pool_size(8),
     ).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
@@ -118,18 +120,13 @@ def minhash_near_dup_pairs(
 
     buckets = sketches.map_batches(explode, batch_format="pyarrow", batch_size=2048)
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].values)
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
-        iu = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+    from biomedical_entity_linking_ray.functions.candidate_pairs import within_key_pairs
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 
-    cand = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
-    from ray.data.aggregate import Count as _Count
-    cand = cand.groupby(["id_a", "id_b"]).aggregate(_Count(alias_name="nb")).select_columns(
-        ["id_a", "id_b"])  # distinct pairs
+    cand = within_key_pairs(buckets, "bucket", "doc_id")
+    cand = bucketed_aggregate(
+        cand, ["id_a", "id_b"], {"bucket": ("bucket", "min")}
+    ).select_columns(["id_a", "id_b"])  # distinct pairs
 
     from biomedical_entity_linking_ray.functions.joins import hash_join
 
@@ -206,22 +203,19 @@ def simhash_near_dup_pairs(
 
     buckets = sk.map_batches(explode, batch_format="pyarrow", batch_size=2048)
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].values
-        hs = g["simhash"].values.astype(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        iu = np.triu_indices(ids.size, k=1)
-        d = hashing.hamming64(hs[iu[0]], hs[iu[1]])
+    from biomedical_entity_linking_ray.functions.candidate_pairs import within_key_pairs
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    def emit(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        d = hashing.hamming64(hs[ia], hs[ib]) if len(ia) else np.array([], np.int64)
         keep = d <= max_hamming
-        return pd.DataFrame({"id_a": ids[iu[0]][keep], "id_b": ids[iu[1]][keep],
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "hamming": d[keep]})
 
-    pairs = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pairs = within_key_pairs(buckets, "bucket", "doc_id", emit=emit)
+    return bucketed_aggregate(pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")})
 
 
 # ---------------------------------------------------------------------------
@@ -329,22 +323,20 @@ def embedding_near_dup_pairs(
 
     buckets = emb.map_batches(explode, batch_format="pyarrow", batch_size=2048)
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = g["vec_id"].values
-        if ids.size < 2:
+    from biomedical_entity_linking_ray.functions.candidate_pairs import within_key_pairs
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    def emit(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        if len(ia) == 0:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64),
                                  "cosine": pd.Series(dtype=np.float64)})
-        M = np.frombuffer(b"".join(g["unit"].tolist()), dtype=np.float32).reshape(ids.size, -1)
-        sims = M @ M.T
-        iu = np.triu_indices(ids.size, k=1)
-        c = sims[iu]
+        M = np.frombuffer(b"".join(g["unit"].tolist()), dtype=np.float32).reshape(len(g), -1)
+        c = np.einsum("ij,ij->i", M[ia], M[ib]).astype(np.float64)
         keep = c >= threshold
-        return pd.DataFrame({"id_a": ids[iu[0]][keep], "id_b": ids[iu[1]][keep],
-                             "cosine": c[keep].astype(np.float64)})
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "cosine": c[keep]})
 
-    pairs = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    pairs = within_key_pairs(buckets, "bucket", "vec_id", emit=emit)
+    return bucketed_aggregate(pairs, ["id_a", "id_b"], {"cosine": ("cosine", "max")})

@@ -140,76 +140,26 @@ def salt_hot_keys(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.da
 
 
 def generate_pairs(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.Dataset":
-    """groupby(block_key) -> windowed within-block pair enumeration -> dedup.
+    """Salted block rows -> deduplicated candidate pairs (id_a, id_b, block_key).
 
     Within a block sorted by file_id: all O(n^2)/2 pairs when n <= all_pairs_max,
     otherwise each row links to its next `pair_window` neighbors (sorted
     neighborhood -- connected, bounded fan-out; transitive clustering recovers
-    the full cluster). Cross-key duplicates collapse via a vectorized
-    groupby-min on (id_a, id_b) (reference analog: edge dedup,
+    the full cluster). Singleton keys are dropped by a pre-aggregated count +
+    semi join and enumeration is vectorized over coarse buckets
+    (functions/candidate_pairs.py). Cross-key duplicates collapse via a
+    bucketed groupby-min on (id_a, id_b) (reference analog: edge dedup,
     special_partition.pyx:363-389).
     """
-    W = cfg.pair_window
-    all_max = cfg.all_pairs_max
+    from biomedical_entity_linking_ray.functions.candidate_pairs import within_key_pairs
 
-    # Most block keys are singletons (a band hash shared by nobody) and can
-    # never produce a pair; dropping them BEFORE the groupby removes ~90% of
-    # the groups and their per-group overhead. The multi-key table comes from
-    # the pre-aggregated counts (tiny) and the filter is a distributed
-    # left-semi hash join -- no driver-side key set at scale.
-    counts = keyed_counts(block_rows, "block_key")
-    multi = counts.filter(expr=f"cnt >= 2").select_columns(["block_key"])
-    block_rows = hash_join(
-        block_rows, multi, "left_semi", cfg.join_partitions, on=("block_key",)
+    pairs = within_key_pairs(
+        block_rows, "block_key", "file_id",
+        n_coarse=max(cfg.join_partitions * 4, 16),
+        all_pairs_max=cfg.all_pairs_max,
+        window=cfg.pair_window,
+        join_partitions=cfg.join_partitions,
     )
-
-    # Coarse bucketing: per-group map_groups overhead (~ms/group) dominates
-    # when there are 10^4+ blocks, so blocks are hashed into a bounded number
-    # of buckets and ALL groups inside a bucket are enumerated by one
-    # vectorized pass (sort + run-length boundaries + numpy index math).
-    n_buckets = max(cfg.join_partitions * 4, 16)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        keys = t["block_key"].to_pylist()
-        b = np.fromiter(
-            (hashing.fnv1a_str(k) % n_buckets for k in keys),
-            dtype=np.int64, count=len(keys),
-        )
-        return t.append_column("bucket", pa.array(b))
-
-    bucketed = block_rows.map_batches(add_bucket, batch_format="pyarrow")
-
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["block_key", "file_id"]).sort_values(["block_key", "file_id"])
-        keys = g["block_key"].to_numpy()
-        ids = g["file_id"].to_numpy()
-        n = len(g)
-        if n == 0:
-            return _EMPTY_PAIRS.copy()
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        lens = np.diff(np.r_[starts, n])
-        ia_all: list[np.ndarray] = []
-        ib_all: list[np.ndarray] = []
-        for s, ln in zip(starts, lens):
-            if ln < 2:
-                continue
-            if ln <= all_max:
-                iu = np.triu_indices(ln, k=1)
-                ia, ib = iu[0] + s, iu[1] + s
-            else:
-                ia = np.concatenate([np.arange(s, s + ln - w) for w in range(1, W + 1)])
-                ib = np.concatenate([np.arange(s + w, s + ln) for w in range(1, W + 1)])
-            ia_all.append(ia)
-            ib_all.append(ib)
-        if not ia_all:
-            return _EMPTY_PAIRS.copy()
-        ia = np.concatenate(ia_all)
-        ib = np.concatenate(ib_all)
-        return pd.DataFrame({
-            "id_a": ids[ia], "id_b": ids[ib], "block_key": keys[ia],
-        })
-
-    pairs = bucketed.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
     return bucketed_aggregate(pairs, ["id_a", "id_b"], {"block_key": ("block_key", "min")})
 
 
