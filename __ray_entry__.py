@@ -44,6 +44,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from biomedical_entity_linking_ray.pipelines import (
         dedup,
+        multimodal,
         relational,
         similarity,
         text_analysis,
@@ -83,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        # --- multimodal plumbing (binary payload -> actor-pool decode) ---
+        "image_features": multimodal.image_feature_pipeline,
         # --- flagship linkage (no SQL oracle: synthetic files table) ---
         "linkage_assignments": linkage_assignments,
         "linkage_cluster_sizes": linkage_cluster_sizes,

@@ -90,16 +90,68 @@ def run_bench() -> dict:
     return out
 
 
+def run_linkage_only() -> dict:
+    """Flagship linkage on a larger synthetic corpus (the scaling workload:
+    compute-bound, so the N vs 4N comparison measures the pipeline, not the
+    driver's fixed per-job latency)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from biomedical_entity_linking_ray.config import LinkageConfig, SynthConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+    from biomedical_entity_linking_ray.synth import materialize_corpus
+
+    factor = float(os.environ.get("GRAFT_SCALE_FACTOR", "30"))
+    shards = 24 if factor > 20 else 1  # parallel generation for big corpora
+    d = materialize_corpus(SynthConfig().scaled(factor), shards=shards)
+    files = rd.read_parquet(os.path.join(d, "files.parquet"))
+    n_input = files.count()  # warms the page cache too
+
+    t0 = time.time()
+    res = run_linkage(files, LinkageConfig())
+    n_assign = res.assignments.count()
+    dt = round(time.time() - t0, 3)
+    n_pairs = res.scored_pairs.count()
+    out = {
+        "metric": "linkage wall time (synthetic files corpus)",
+        "value": dt,
+        "unit": "sec",
+        "rows_in": n_input,
+        "rows_out": n_assign,
+        "pairs_scored": n_pairs,
+        "rows_per_sec": round(n_input / dt, 1),
+        "pairs_scored_per_sec": round(n_pairs / dt, 1),
+        "factor": factor,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--linkage-only"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    run(lo) if os.environ.get("GRAFT_SCALING_WARM") else None  # optional warm run
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -110,14 +162,19 @@ def run_scaling() -> dict:
         "sec_32": t_hi,
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
-        "sf": SF_DIR,
+        "rows_in": r_lo["rows_in"],
+        "pairs_scored": r_lo["pairs_scored"],
+        "rows_per_sec_8": r_lo["rows_per_sec"],
+        "rows_per_sec_32": r_hi["rows_per_sec"],
+        "workload": "linkage on synthetic files corpus factor="
+                    + os.environ.get("GRAFT_SCALE_FACTOR", "30"),
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--linkage-only" in sys.argv:
+        print(json.dumps(run_linkage_only()))
     else:
         print(json.dumps(run_bench()))

@@ -57,6 +57,18 @@ class LinkageConfig:
 
     # --- clustering ---
     max_rounds: int = 50         # hard cap on label-propagation rounds
+    # Residual-graph fast path: after per-block local contraction the edge
+    # list is ~1 edge/member; below this count the component resolution runs
+    # as a driver-side union-find (guide: "union-find on the driver only if
+    # the candidate set is provably small"), above it the distributed
+    # label-propagation path runs. At 10^12 rows the distributed path is the
+    # one that executes.
+    driver_cc_max_edges: int = 5_000_000
+    # Broadcast fast path for the final member->cluster attachment: when the
+    # representative label table fits comfortably in the object store it is
+    # ray.put once and looked up per batch (no shuffle); beyond the bound the
+    # hash-join path runs (the 10^12-scale path).
+    broadcast_labels_max: int = 5_000_000
 
     # --- physical execution ---
     batch_size: int = 1024       # rows per batch in feature stages
@@ -72,6 +84,16 @@ class LinkageConfig:
 
 
 DEFAULT_CONFIG = LinkageConfig()
+
+
+def effective_partitions(cfg: LinkageConfig) -> int:
+    """Shuffle/join partition count: at least the configured floor, scaled up
+    to the cluster CPU count so exchanges never cap parallelism below the
+    cores available (join_partitions=8 on a 32-core node serializes 4x)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(cfg.join_partitions, cpus)
 
 
 @dataclass(frozen=True)

@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
-from biomedical_entity_linking_ray.config import DEFAULT_CONFIG, LinkageConfig
+from biomedical_entity_linking_ray.config import DEFAULT_CONFIG, LinkageConfig, effective_partitions
 from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
 from biomedical_entity_linking_ray.stages import blocking, clustering, contraction, normalize, scoring
 
@@ -53,8 +53,17 @@ class LinkageResult:
 def run_linkage(
     files: "ray.data.Dataset",
     cfg: LinkageConfig = DEFAULT_CONFIG,
-    feature_concurrency: int | None = 4,
+    feature_concurrency: int | None = None,
 ) -> LinkageResult:
+    # A files table read from few parquet files arrives as few blocks, and
+    # block count caps stage parallelism (one task per block): split the input
+    # so the content scan fans out across the cluster.
+    import ray as _ray
+
+    n_blocks = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 2) \
+        if _ray.is_initialized() else 32
+    files = files.repartition(n_blocks)
+
     feats = normalize.compute_features(files, cfg, concurrency=feature_concurrency)
     # feats feeds contraction + the final lineage join: pin once instead of
     # re-running the content scan.
@@ -82,47 +91,60 @@ def run_linkage(
     members = members.materialize()
     reps = reps.materialize()
 
-    block_rows = blocking.emit_block_keys(reps, cfg)
+    block_rows = blocking.emit_block_keys(reps, cfg).materialize()
+    # ^ consumed twice (hot-key counting + salting rewrite): pin, don't recompute
     block_rows = blocking.salt_hot_keys(block_rows, cfg).materialize()
 
-    pairs = blocking.generate_pairs(block_rows, cfg).materialize()
-    if pairs.count() == 0:
-        # no co-blocked candidates at all: a schema-less empty dataset would
-        # break the downstream joins, so substitute a typed empty edge table
+    # fused stage 1.5/2: member-set block dedup -> enrich once -> in-block
+    # scoring + local contraction (see stages/fused_scoring.py for why this
+    # replaces the two-join pair-feature attach at scale)
+    from biomedical_entity_linking_ray.stages import fused_scoring
+
+    blocks_dd = fused_scoring.dedup_blocks_by_memberset(block_rows, cfg)
+    enriched = fused_scoring.enrich_block_rows(blocks_dd, reps, cfg).materialize()
+    if enriched.count() == 0:
         scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
         edges = scored
     else:
-        pairs_f = blocking.attach_pair_features(pairs, reps, cfg)
-        scored = scoring.score_pairs(pairs_f, cfg).materialize()
-        edges = scoring.threshold_edges(scored, cfg)
+        scored, edges = fused_scoring.score_blocks(enriched, cfg)
+        scored = scored.materialize()
 
-    rep_assign = clustering.connected_components(edges, reps, cfg)
+    rep_assign = clustering.connected_components(edges, reps, cfg).materialize()
 
-    # members inherit their representative's cluster (hash join on rep_id)
-    P = cfg.join_partitions
-    assign = hash_join(
-        members, rep_assign, "inner", P, on=("rep_id",), right_on=("file_id",),
-        right_suffix="_rep",
-    ).map_batches(
-        heal_projection(_ASSIGN_SCHEMA, lambda t: pa.table({
-            "file_id": t["file_id"],
-            "cluster_id": t["cluster_id"],
-            "canonical_id": t["canonical_id"],
-            "content_sha": t["content_sha"],
-        })),
-        batch_format="pyarrow",
-    )
-    # lineage join: provenance columns back onto every assignment so the
-    # per-row sha256 invariant + origin are checkable on the final output
-    lineage = feats.select_columns(["file_id", "repo", "path", "commit", "lang"])
-    assign_full = hash_join(
-        assign, lineage, "inner", P, on=("file_id",)
-    ).map_batches(
-        heal_projection(_FULL_SCHEMA, lambda t: pa.table(
-            {c: t[c] for c in _FULL_SCHEMA.names}
-        )),
-        batch_format="pyarrow",
-    )
+    # members inherit their representative's cluster; members already carry
+    # the lineage columns (content_sha, repo, path, commit, lang) from
+    # contraction, so attaching labels is the ONLY remaining step. Fast path:
+    # broadcast the rep->cluster map when it fits (ray.put once, vectorized
+    # lookup per batch); hash join beyond the bound (the 10^12-scale path).
+    P = effective_partitions(cfg)
+    if rep_assign.count() <= cfg.broadcast_labels_max:
+        import pandas as _pd
+
+        lab_df = rep_assign.select_columns(["file_id", "cluster_id"]).to_pandas()
+        lab_ref = ray.put(dict(zip(lab_df["file_id"], lab_df["cluster_id"])))
+
+        def attach(t: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            reps_col = t["rep_id"].to_pylist()
+            cl = [lab.get(r, r) for r in reps_col]
+            return pa.table({
+                "file_id": t["file_id"], "cluster_id": pa.array(cl, pa.string()),
+                "canonical_id": pa.array(cl, pa.string()),
+                "content_sha": t["content_sha"], "repo": t["repo"],
+                "path": t["path"], "commit": t["commit"], "lang": t["lang"],
+            })
+
+        assign_full = members.map_batches(attach, batch_format="pyarrow")
+    else:
+        assign_full = hash_join(
+            members, rep_assign, "inner", P, on=("rep_id",), right_on=("file_id",),
+            right_suffix="_rep",
+        ).map_batches(
+            heal_projection(_FULL_SCHEMA, lambda t: pa.table(
+                {c: t[c] for c in _FULL_SCHEMA.names}
+            )),
+            batch_format="pyarrow",
+        )
 
     return LinkageResult(
         features=feats,

@@ -1,0 +1,121 @@
+"""Source readers, re-expressing the reference's loader family (SURVEY.md 2.1).
+
+Every reader returns a ``ray.data.Dataset`` and prunes at the read where the
+format allows (columns=, parquet filters). Reference analogs noted per
+function; biomedical formats are translated to their target-domain shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def read_files_table(
+    paths: str | list[str],
+    columns: list[str] | None = None,
+    lang: str | None = None,
+) -> "ray.data.Dataset":
+    """Primary input: Parquet files table (repo, path, commit, lang, content).
+
+    Reference analog: S1 BigBio loader (bigbio_utils.py:14-37). Column and
+    row-group pruning pushed into the scan.
+    """
+    flt = (pc.field("lang") == lang) if lang else None
+    return ray.data.read_parquet(paths, columns=columns, filter=flt)
+
+
+def read_alias_dictionary(paths: str | list[str]) -> "ray.data.Dataset":
+    """``id1|id2||alias`` text lines -> (alias, ids) rows, alias-deduplicated.
+
+    Reference analog: S10 DictionaryDataset.load_data
+    (bioel/bioel/models/sapbert/data/utils.py:59-98): lines are
+    ``CUI||name``, names lowercased, duplicate names collapsed keeping the
+    first id set. Parsing is a stateless flat map over text lines; the dedup
+    is a bucketed first-wins aggregate.
+    """
+
+    def parse(t: pa.Table) -> pa.Table:
+        aliases, ids = [], []
+        for line in t["text"].to_pylist():
+            line = line.strip()
+            if not line or "||" not in line:
+                continue
+            id_part, alias = line.split("||", 1)
+            aliases.append(alias.strip().lower())
+            ids.append(id_part.strip())
+        return pa.table({
+            "alias": pa.array(aliases, pa.string()),
+            "ids": pa.array(ids, pa.string()),
+        })
+
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    rows = ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")
+    return bucketed_aggregate(rows, ["alias"], {"ids": ("ids", "first")})
+
+
+_BLOCK_HEADER = re.compile(r"^(?P<id>[^|]+)\|(?P<kind>[ta])\|(?P<text>.*)$")
+
+
+def read_record_blocks(paths: str | list[str]) -> "ray.data.Dataset":
+    """Blank-line-separated record blocks -> (doc_id, title, body, n_annotations).
+
+    Reference analog: S2 PubTator gz parser (krissbert/usage/utils.py:143-178):
+    blocks of ``id|t|title`` / ``id|a|abstract`` / tab-separated annotation
+    lines. Whole files are read (block boundaries must not straddle tasks)
+    and each file is exploded to one row per block with a stateless flat map.
+    """
+
+    def parse_file(row: dict) -> list[dict]:
+        text = row["bytes"].decode("utf-8", "replace")
+        out = []
+        for block in text.split("\n\n"):
+            block = block.strip()
+            if not block:
+                continue
+            doc_id, title, body, n_ann = None, "", "", 0
+            for line in block.splitlines():
+                m = _BLOCK_HEADER.match(line)
+                if m:
+                    doc_id = m.group("id")
+                    if m.group("kind") == "t":
+                        title = m.group("text")
+                    else:
+                        body = m.group("text")
+                elif "\t" in line:
+                    n_ann += 1
+            if doc_id is not None:
+                out.append({"doc_id": doc_id, "title": title, "body": body,
+                            "n_annotations": n_ann})
+        return out
+
+    return ray.data.read_binary_files(paths).flat_map(parse_file)
+
+
+def read_jsonl_records(paths: str | list[str]) -> "ray.data.Dataset":
+    """JSONL mention/KB records (reference analogs: S9 load_json
+    ontology.py:583-620, S11 read_dataset BiEncoderLightningDataModule.py:28-41)."""
+    return ray.data.read_json(paths)
+
+
+def read_delimited_table(
+    paths: str | list[str],
+    delimiter: str = "|",
+    column_names: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Delimiter-separated table (reference analog: S4 UMLS MRCONSO reader,
+    umls_utils.py:83-173 -- pipe-delimited fixed columns)."""
+    from pyarrow import csv as pacsv
+
+    parse_options = pacsv.ParseOptions(delimiter=delimiter)
+    read_options = pacsv.ReadOptions(column_names=column_names) if column_names else None
+    return ray.data.read_csv(
+        paths, parse_options=parse_options,
+        **({"read_options": read_options} if read_options else {}),
+    )

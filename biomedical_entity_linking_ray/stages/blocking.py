@@ -34,7 +34,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Min, Sum
 
-from biomedical_entity_linking_ray.config import LinkageConfig
+from biomedical_entity_linking_ray.config import LinkageConfig, effective_partitions
 from biomedical_entity_linking_ray.functions import hashing
 from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 from biomedical_entity_linking_ray.functions.joins import hash_join
@@ -153,12 +153,13 @@ def generate_pairs(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.d
     """
     from biomedical_entity_linking_ray.functions.candidate_pairs import within_key_pairs
 
+    P = effective_partitions(cfg)
     pairs = within_key_pairs(
         block_rows, "block_key", "file_id",
-        n_coarse=max(cfg.join_partitions * 4, 16),
+        n_coarse=max(P * 4, 16),
         all_pairs_max=cfg.all_pairs_max,
         window=cfg.pair_window,
-        join_partitions=cfg.join_partitions,
+        join_partitions=P,
     )
     return bucketed_aggregate(pairs, ["id_a", "id_b"], {"block_key": ("block_key", "min")})
 
@@ -182,7 +183,7 @@ def attach_pair_features(
     through the blocking shuffles.
     """
     feats = reps.select_columns(_FEATS)
-    P = cfg.join_partitions
+    P = effective_partitions(cfg)
 
     a = hash_join(
         pairs, feats, "inner", P, on=("id_a",), right_on=("file_id",),

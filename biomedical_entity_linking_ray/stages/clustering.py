@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray.data
 
-from biomedical_entity_linking_ray.config import LinkageConfig
+from biomedical_entity_linking_ray.config import LinkageConfig, effective_partitions
 from biomedical_entity_linking_ray.functions import hashing
 from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
@@ -72,6 +72,66 @@ def _checksum(labels: "ray.data.Dataset") -> int:
     return acc
 
 
+def _driver_union_find(
+    skinny_edges: "ray.data.Dataset",
+    nodes: "ray.data.Dataset",
+    cfg: LinkageConfig,
+) -> "ray.data.Dataset":
+    """In-memory union-find over a small residual edge list; singletons via
+    the same anti-join as the distributed path."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in skinny_edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra <= rb:  # min-id root keeps canonical semantics
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    rows_n, rows_l = [], []
+    for x in list(parent.keys()):
+        rows_n.append(x)
+        rows_l.append(find(x))
+    # roots map to themselves; include them explicitly for the anti join
+    node_set = set(rows_n)
+    for r in set(rows_l):
+        if r not in node_set:
+            rows_n.append(r)
+            rows_l.append(r)
+    labels = ray.data.from_arrow(pa.table({
+        "node": pa.array(rows_n, pa.string()),
+        "label": pa.array(rows_l, pa.string()),
+    })).materialize()
+
+    clustered = labels.map_batches(
+        lambda t: pa.table({
+            "file_id": t["node"], "cluster_id": t["label"],
+            "canonical_id": t["label"],
+        }),
+        batch_format="pyarrow",
+    )
+    singles = hash_join(
+        nodes.select_columns(["file_id"]), labels, "left_anti",
+        effective_partitions(cfg), on=("file_id",), right_on=("node",),
+    ).map_batches(
+        heal_projection(_ASSIGN3, lambda t: pa.table({
+            "file_id": t["file_id"], "cluster_id": t["file_id"],
+            "canonical_id": t["file_id"],
+        })),
+        batch_format="pyarrow",
+    )
+    return clustered.union(singles)
+
+
 def connected_components(
     edges: "ray.data.Dataset",
     nodes: "ray.data.Dataset",
@@ -81,7 +141,19 @@ def connected_components(
 
     Singleton nodes (no surviving edge) keep their own id as cluster id.
     """
-    P = cfg.join_partitions
+    P = effective_partitions(cfg)
+
+    # Fast path: the edge list here is the residual graph AFTER local
+    # contraction (fused_scoring emits ~1 star edge per member), so it is
+    # usually orders of magnitude smaller than the corpus. Below the
+    # configured bound, resolve it with an in-memory union-find on the driver
+    # (reference analog: scipy connected_components,
+    # eval_cluster_linking.py:90-146); the distributed label propagation
+    # below is the path that runs at 10^12 scale.
+    skinny = edges.select_columns(["id_a", "id_b"]).materialize()
+    n_edges = skinny.count()
+    if 0 < n_edges <= cfg.driver_cc_max_edges:
+        return _driver_union_find(skinny, nodes, cfg)
 
     # Only nodes that touch an edge can change label -- restrict the iteration
     # to them (typically a small fraction of the corpus); singletons are
@@ -90,10 +162,15 @@ def connected_components(
     has_edges = e_bi.count() > 0
     # distributed distinct: per-batch dedup (combiner) then groupby-min --
     # never collects node ids on the driver
+    # init = round-0 propagate for free: label(node) = min(node, neighbors)
+    # directly from the edge list (no join needed before labels exist)
     labels = bucketed_aggregate(
         e_bi.map_batches(
             lambda t: pa.table({
-                "node": t["node"], "cand": t["node"],
+                "node": pa.concat_arrays([t["node"].combine_chunks(),
+                                          t["node"].combine_chunks()]),
+                "cand": pa.concat_arrays([t["node"].combine_chunks(),
+                                          t["nbr"].combine_chunks()]),
             }),
             batch_format="pyarrow",
         ),

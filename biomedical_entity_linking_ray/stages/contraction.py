@@ -28,7 +28,7 @@ def exact_contract(
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """feature table -> (members, reps).
 
-    members: (file_id, rep_id, content_sha)  -- every input row
+    members: (file_id, rep_id, content_sha, repo, path, commit, lang) -- every input row
     reps:    feature rows where file_id == rep_id (one per unique content)
     """
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
@@ -37,15 +37,19 @@ def exact_contract(
         feats.select_columns(["content_sha", "file_id"]),
         ["content_sha"], {"rep_id": ("file_id", "min")},
     )
-    members = hash_join(
-        feats, sha_rep, "inner", cfg.join_partitions, on=("content_sha",)
+    from biomedical_entity_linking_ray.config import effective_partitions
+
+    joined = hash_join(
+        feats, sha_rep, "inner", effective_partitions(cfg), on=("content_sha",)
     )
     feat_schema = feats.schema().base_schema
     mem_schema = feat_schema.append(pa.field("rep_id", pa.string()))
-    members = members.map_batches(
+    joined = joined.map_batches(
         heal_projection(mem_schema, lambda t: t.select(mem_schema.names)),
         batch_format="pyarrow",
+    ).materialize()  # members AND reps derive from this: pin once, not twice
+    reps = joined.filter(expr="file_id == rep_id")
+    members_skinny = joined.select_columns(
+        ["file_id", "rep_id", "content_sha", "repo", "path", "commit", "lang"]
     )
-    reps = members.filter(expr="file_id == rep_id")
-    members_skinny = members.select_columns(["file_id", "rep_id", "content_sha"])
     return members_skinny, reps

@@ -1,0 +1,225 @@
+"""Fused within-block pair scoring + local contraction (the scale path).
+
+Motivation (measured at 179k rows / 32 cpus): the two-join design that
+attaches per-side sketches onto 2.6M candidate pairs moves ~10 GB through
+hash shuffles (143 s); label propagation over the full 1.9M-edge list costs
+another 150 s. Both costs are avoidable:
+
+1. **member-set block dedup** -- the ~21 LSH bands of one near-dup cluster
+   usually produce the *same* member set; a commutative set-hash aggregate
+   (sum of mixed id-hashes per block, then min-key per set-hash + semi join,
+   all bucketed) keeps ONE block per distinct member set. Skinny shuffles
+   only.
+2. **enrich once** -- features join onto the deduped block ROWS
+   (~1.2 x reps, not ~pairs), so each sketch crosses the wire once.
+3. **fused scoring** -- one bucketed groupby moves the enriched rows; inside
+   each block a vectorized pass enumerates the (windowed) pairs and scores
+   them from the in-memory side arrays: no payload duplication per pair.
+   Scorer state (weights, thresholds) is plain config captured in the
+   closure; the standalone actor-pool scorer (scoring.py) remains the
+   building block for model-heavy scorers (crossencoder analog, T10).
+4. **local contraction** -- within a block, union-find over the passing
+   pairs emits one star edge per member to its block-local root. Transitive
+   clustering then runs on ~1.2 edges/row instead of ~15 pairs/row; global
+   connectivity is preserved because rows shared between blocks carry both
+   stars (reference analog: the greedy per-component partition,
+   special_partition.pyx:288-356, done distributed).
+
+Outputs: scored pairs (deduplicated, max score) AND star edges, from one
+shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from biomedical_entity_linking_ray.config import LinkageConfig, effective_partitions
+from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
+from biomedical_entity_linking_ray.functions.strings import jaro_winkler
+
+
+def dedup_blocks_by_memberset(
+    block_rows: "ray.data.Dataset", cfg: LinkageConfig
+) -> "ray.data.Dataset":
+    """Keep one block key per distinct member set (skinny, 2 bucketed aggs +
+    1 semi join). Set hash = sum of splitmix64(fnv(id)) -- commutative, so it
+    aggregates without collecting the set."""
+    P = effective_partitions(cfg)
+
+    def add_idhash(t: pa.Table) -> pa.Table:
+        ids = t["file_id"].to_pylist()
+        h = np.fromiter((hashing.fnv1a_str(i) for i in ids), dtype=np.uint64,
+                        count=len(ids))
+        h = hashing.splitmix64(h).astype(np.int64)  # int64 for pandas sum
+        return t.append_column("idh", pa.array(h))
+
+    keyed = block_rows.map_batches(add_idhash, batch_format="pyarrow")
+    sethash = bucketed_aggregate(
+        keyed, ["block_key"], {"mh": ("idh", "sum"), "cnt": ("idh", "count")},
+        n_buckets=P * 4,
+    )
+    # one representative block key per (set-hash, size)
+    rep_keys = bucketed_aggregate(
+        sethash, ["mh", "cnt"], {"block_key": ("block_key", "min")},
+        n_buckets=P * 4,
+    ).select_columns(["block_key"])
+    return hash_join(block_rows, rep_keys, "left_semi", P, on=("block_key",))
+
+
+def enrich_block_rows(
+    block_rows: "ray.data.Dataset", reps: "ray.data.Dataset", cfg: LinkageConfig
+) -> "ray.data.Dataset":
+    """Join per-row features onto block rows (once per row, not per pair)."""
+    P = effective_partitions(cfg)
+    feats = reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
+    out_schema = pa.schema([
+        ("block_key", pa.string()), ("file_id", pa.string()),
+        ("path_norm", pa.string()), ("sig", pa.binary()), ("tfvec", pa.binary()),
+    ])
+    return hash_join(
+        block_rows, feats, "inner", P, on=("file_id",)
+    ).map_batches(
+        heal_projection(out_schema, lambda t: t.select(out_schema.names)),
+        batch_format="pyarrow",
+    )
+
+
+_PAIR_SCHEMA = {
+    "kind": str, "id_a": str, "id_b": str, "block_key": str,
+    "score_jw": float, "score_jaccard": float, "score_cosine": float, "score": float,
+}
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_SCHEMA.items()})
+
+
+def score_blocks(
+    enriched: "ray.data.Dataset", cfg: LinkageConfig
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """One bucketed shuffle -> (scored_pairs, star_edges).
+
+    Inside each block: windowed pair enumeration over ids sorted ascending,
+    vectorized scoring from the stacked side arrays, then a union-find over
+    passing pairs emitting (member -> block-local root) star edges. Emitted
+    rows are tagged 'p' (scored pair) / 's' (star edge) and split after the
+    shuffle; pair rows dedup by max score across blocks, star rows by
+    distinct.
+    """
+    num_perm, tf_dim = cfg.num_perm, cfg.tf_dim
+    W, all_max, tau = cfg.pair_window, cfg.all_pairs_max, cfg.tau
+    w_jw, w_jac, w_cos = cfg.w_jw, cfg.w_jac, cfg.w_cos
+    n_coarse = effective_partitions(cfg) * 4
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        keys = t["block_key"].to_pylist()
+        b = np.fromiter((hashing.fnv1a_str(k) % n_coarse for k in keys),
+                        dtype=np.int64, count=len(keys))
+        return t.append_column("__coarse", pa.array(b))
+
+    coarse = enriched.map_batches(add_coarse, batch_format="pyarrow")
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["block_key", "file_id"]).sort_values(
+            ["block_key", "file_id"]).reset_index(drop=True)
+        n = len(g)
+        if n == 0:
+            return _empty_out()
+        keys = g["block_key"].to_numpy()
+        ids = g["file_id"].to_numpy()
+        paths = g["path_norm"].to_numpy()
+        sigs = np.frombuffer(b"".join(g["sig"].tolist()), dtype=np.uint64
+                             ).reshape(n, num_perm)
+        vecs = np.frombuffer(b"".join(g["tfvec"].tolist()), dtype=np.float32
+                             ).reshape(n, tf_dim)
+
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        ia_all, ib_all = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            if ln <= all_max:
+                iu = np.triu_indices(ln, k=1)
+                ia_all.append(iu[0] + s)
+                ib_all.append(iu[1] + s)
+            else:
+                ia_all.append(np.concatenate(
+                    [np.arange(s, s + ln - w) for w in range(1, W + 1)]))
+                ib_all.append(np.concatenate(
+                    [np.arange(s + w, s + ln) for w in range(1, W + 1)]))
+        if not ia_all:
+            return _empty_out()
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+
+        jac = (sigs[ia] == sigs[ib]).mean(axis=1)
+        cos = np.einsum("ij,ij->i", vecs[ia], vecs[ib]).astype(np.float64)
+        np.clip(cos, -1.0, 1.0, out=cos)
+        jw = np.fromiter(
+            (jaro_winkler(a, b) for a, b in zip(paths[ia], paths[ib])),
+            dtype=np.float64, count=ia.size,
+        )
+        score = w_jw * jw + w_jac * jac + w_cos * cos
+
+        pairs = pd.DataFrame({
+            "kind": "p", "id_a": ids[ia], "id_b": ids[ib], "block_key": keys[ia],
+            "score_jw": jw, "score_jaccard": jac, "score_cosine": cos,
+            "score": score,
+        })
+
+        # local union-find over passing pairs -> star edges (member, root)
+        passing = score >= tau
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ia[passing], ib[passing]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps roots deterministic
+                if ids[ra] <= ids[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+        member_mask = roots != np.arange(n)
+        stars = pd.DataFrame({
+            "kind": "s",
+            "id_a": ids[roots[member_mask]],
+            "id_b": ids[member_mask],
+            "block_key": keys[member_mask],
+            "score_jw": 0.0, "score_jaccard": 0.0, "score_cosine": 0.0,
+            "score": 1.0,
+        })
+        return pd.concat([pairs, stars], ignore_index=True)
+
+    tagged = coarse.groupby("__coarse").map_groups(
+        score_bucket, batch_format="pandas"
+    ).materialize()
+
+    P4 = n_coarse
+    scored = bucketed_aggregate(
+        tagged.filter(expr="kind == 'p'"),
+        ["id_a", "id_b"],
+        {"block_key": ("block_key", "min"), "score_jw": ("score_jw", "max"),
+         "score_jaccard": ("score_jaccard", "max"),
+         "score_cosine": ("score_cosine", "max"), "score": ("score", "max")},
+        n_buckets=P4,
+    )
+    stars = bucketed_aggregate(
+        tagged.filter(expr="kind == 's'"),
+        ["id_a", "id_b"], {"block_key": ("block_key", "min")},
+        n_buckets=P4,
+    )
+    return scored, stars

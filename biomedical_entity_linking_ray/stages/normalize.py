@@ -89,14 +89,32 @@ class FeatureExtractor:
         return out
 
 
-def pool_size(requested: int) -> int:
-    """Clamp an actor-pool size so pools never reserve every core: a pool
-    equal to num_cpus starves the read/shuffle stages and the streaming
-    executor deadlocks (observed at num_cpus=4)."""
+def pool_size(requested: int | None = None) -> int:
+    """Actor-pool size: `requested` clamped to cpus-2, or cpus-2 when None.
+    A pool equal to num_cpus starves the read/shuffle stages and the
+    streaming executor deadlocks (observed at num_cpus=4)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(1, min(requested, cpus - 2)) if cpus > 2 else 1
+    cap = max(1, cpus - 2) if cpus > 2 else 1
+    return cap if requested is None else max(1, min(requested, cap))
+
+
+# Per-worker-process hasher cache: stateless *tasks* reuse long-lived Ray
+# workers, so the MinHash permutation table is built once per worker without
+# paying actor-pool startup (measured: a 30-actor pool costs ~7 s before the
+# first batch; tasks start instantly). Model-heavy stages (PairScorer,
+# ImageDecoder) stay actor pools -- their state is worth a pool.
+_EXTRACTOR_CACHE: dict[tuple, FeatureExtractor] = {}
+
+
+def _extract_batch(batch: pa.Table, cfg: LinkageConfig) -> pa.Table:
+    key = (cfg.num_perm, cfg.seed, cfg.shingle_k, cfg.max_shingles, cfg.tf_dim)
+    ex = _EXTRACTOR_CACHE.get(key)
+    if ex is None:
+        ex = FeatureExtractor(cfg)
+        _EXTRACTOR_CACHE[key] = ex
+    return ex(batch)
 
 
 def compute_features(
@@ -105,10 +123,10 @@ def compute_features(
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """files(repo,path,commit,lang,content) -> feature table (content dropped)."""
+    import functools
+
     return files.map_batches(
-        FeatureExtractor,
-        fn_constructor_args=(cfg,),
+        functools.partial(_extract_batch, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=pool_size(concurrency or 8),
     )

@@ -96,7 +96,9 @@ def score_pairs(
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
-        concurrency=pool_size(concurrency or cfg.scorer_concurrency),
+        # None -> scale the pool with the cluster (at least the configured min)
+        concurrency=pool_size(concurrency) if concurrency else pool_size(
+            max(cfg.scorer_concurrency, pool_size() // 2) or 1),
     )
 
 

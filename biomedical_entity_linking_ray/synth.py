@@ -287,15 +287,53 @@ def corpus_dir(cfg: SynthConfig, root: str = "/tmp/bel_ray_synth") -> str:
     return os.path.join(root, key)
 
 
-def materialize_corpus(cfg: SynthConfig, root: str = "/tmp/bel_ray_synth") -> str:
+def generate_corpus_sharded(cfg: SynthConfig, shards: int) -> SynthCorpus:
+    """Parallel generation: the corpus is split into `shards` independent
+    sub-corpora (seed + shard index), generated as Ray tasks and concatenated.
+    Deterministic given (seed, shards); used for large bench corpora where
+    sequential generation would take tens of minutes."""
+    import ray as _ray
+
+    sub = cfg.scaled(1.0 / shards)
+
+    @_ray.remote(num_cpus=1)
+    def gen(shard: int) -> tuple:
+        c = generate_corpus(SynthConfig(**{**sub.__dict__, "seed": cfg.seed + 1000 * shard}))
+        return c.files, c.gold_pairs, c.gold_clusters
+
+    parts = _ray.get([gen.remote(i) for i in range(shards)])
+    files = pa.concat_tables(p[0] for p in parts)
+    gold_pairs = pa.concat_tables(p[1] for p in parts)
+    gold_clusters = pa.concat_tables(p[2] for p in parts)
+    return SynthCorpus(files=files, gold_pairs=gold_pairs, gold_clusters=gold_clusters)
+
+
+def _write_sharded(table: pa.Table, path_dir: str, shards: int) -> None:
+    """One parquet file per shard so a Dataset read parallelizes (a single
+    file = a single read task = a serial scan)."""
+    os.makedirs(path_dir, exist_ok=True)
+    n = table.num_rows
+    step = (n + shards - 1) // shards
+    for i in range(shards):
+        sl = table.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(path_dir, f"part-{i:04d}.parquet"))
+
+
+def materialize_corpus(
+    cfg: SynthConfig, root: str = "/tmp/bel_ray_synth", shards: int = 1
+) -> str:
     """Write the corpus to parquet once; return its directory (idempotent)."""
-    d = corpus_dir(cfg, root)
+    d = corpus_dir(cfg, root) + (f"_sh{shards}" if shards > 1 else "")
     done = os.path.join(d, "_SUCCESS")
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
-    corpus = generate_corpus(cfg)
-    pq.write_table(corpus.files, os.path.join(d, "files.parquet"))
+    corpus = generate_corpus(cfg) if shards <= 1 else generate_corpus_sharded(cfg, shards)
+    if shards > 1:
+        _write_sharded(corpus.files, os.path.join(d, "files.parquet"), shards)
+    else:
+        pq.write_table(corpus.files, os.path.join(d, "files.parquet"))
     pq.write_table(corpus.gold_pairs, os.path.join(d, "gold_pairs.parquet"))
     pq.write_table(corpus.gold_clusters, os.path.join(d, "gold_clusters.parquet"))
     with open(done, "w") as f:

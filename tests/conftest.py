@@ -35,9 +35,10 @@ def small_corpus():
     return generate_corpus(SynthConfig().scaled(0.08))
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def linkage_result(small_corpus):
-    """One full pipeline run shared by the assertion tests."""
+    """One full pipeline run shared by the assertion tests (module-scoped so
+    its pinned object-store datasets release before later test modules)."""
     import ray.data as rd
 
     from biomedical_entity_linking_ray.config import LinkageConfig

@@ -1,0 +1,121 @@
+"""Operator tests over the driver testdata (sf0.001) + oracles via DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(4)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_matches_oracle(name: str, con):
+    import __ray_entry__ as ent
+
+    rdf = _canon(ent.queries()[name](SF_DIR).to_pandas())
+    odf = _canon(con.sql(ent.oracle_sql()[name]).df())
+    assert list(rdf.columns) == list(odf.columns), (rdf.columns, odf.columns)
+    assert len(rdf) == len(odf)
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", [
+    "pricing_summary", "top_orders", "revenue_by_nation",
+    "customers_without_orders", "parts_with_lineitems", "event_type_counts",
+    "union_order_extremes", "events_hourly", "high_value_lineitems",
+    "token_counts", "exact_dedup", "knn_bruteforce",
+])
+def test_query_matches_oracle(name, con):
+    _assert_matches_oracle(name, con)
+
+
+def test_lineitem_sequence(con):
+    _assert_matches_oracle("lineitem_sequence", con)
+
+
+def test_knn_self_retrieval():
+    """Rank-1 hit of each query must be the query vector itself."""
+    from biomedical_entity_linking_ray.pipelines.similarity import knn_bruteforce
+
+    df = knn_bruteforce(SF_DIR, k=3, n_queries=8).to_pandas()
+    r1 = df[df["rank"] == 1]
+    assert (r1["query_id"].values == r1["vec_id"].values).all()
+
+
+def test_knn_lsh_overlaps_bruteforce():
+    from biomedical_entity_linking_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+
+    bf = knn_bruteforce(SF_DIR, k=3, n_queries=8).to_pandas()
+    ap = knn_lsh(SF_DIR, k=3, n_queries=8).to_pandas()
+    # rank-1 self hit must survive approximation (query shares every bucket
+    # with itself)
+    r1 = ap[ap["rank"] == 1]
+    assert (r1["query_id"].values == r1["vec_id"].values).all()
+    assert len(ap) <= len(bf)
+
+
+def test_minhash_estimates_match_exact_jaccard():
+    from biomedical_entity_linking_ray.pipelines.dedup import (
+        minhash_near_dup_pairs, ngram_jaccard_pairs,
+    )
+
+    est = minhash_near_dup_pairs(SF_DIR, jaccard_threshold=0.0).to_pandas()
+    if len(est) == 0:
+        pytest.skip("no candidate pairs at this scale")
+    assert {"id_a", "id_b", "jaccard_est"} <= set(est.columns)
+    assert (est["id_a"] < est["id_b"]).all()
+
+
+def test_simhash_pairs_symmetric_and_bounded():
+    from biomedical_entity_linking_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    df = simhash_near_dup_pairs(SF_DIR, max_hamming=10).to_pandas()
+    if len(df):
+        assert (df["id_a"] < df["id_b"]).all()
+        assert (df["hamming"] <= 10).all()
+
+
+def test_exact_dedup_canonical_is_min(con):
+    import __ray_entry__ as ent
+
+    df = ent.queries()["exact_dedup"](SF_DIR).to_pandas()
+    assert (df["canonical_id"] <= df["doc_id"]).all()
+
+
+def test_language_id_runs():
+    from biomedical_entity_linking_ray.pipelines.text_analysis import language_id
+
+    df = language_id(SF_DIR).to_pandas()
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "lang_true", "lang_pred"}
+
+
+def test_multimodal_decode_roundtrip():
+    from biomedical_entity_linking_ray.pipelines.multimodal import image_feature_pipeline
+
+    df = image_feature_pipeline(SF_DIR).to_pandas()
+    assert len(df) == 500
+    assert (df["width"] >= 8).all() and (df["height"] >= 8).all()
+    assert df["pixel_mean"].between(0, 255).all()
+    # determinism
+    df2 = image_feature_pipeline(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )

@@ -1,0 +1,108 @@
+"""Checkpoint/resume (manifests) and source-reader tests."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def ckpt_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ckpt"))
+
+
+def test_checkpointed_run_resumes(small_corpus, ckpt_root):
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.state.manifests import (
+        CheckpointedRun, run_linkage_checkpointed,
+    )
+
+    cfg = LinkageConfig(salt_cap=32, join_partitions=4, scorer_concurrency=2)
+    files = rd.from_arrow(small_corpus.files)
+    root = os.path.join(ckpt_root, "run1")
+
+    out1 = run_linkage_checkpointed(files, cfg, root).to_pandas()
+    assert len(out1) == small_corpus.files.num_rows
+
+    run = CheckpointedRun(root, cfg)
+    # every stage is complete with per-partition inventory + counters
+    for stage in ["s0_features", "s2_blocks", "s3_pairs", "s4_scored",
+                  "s5_edges", "s6_clusters", "s7_assignments"]:
+        assert run.is_complete(stage), stage
+        m = run.manifest(stage)
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+    assert run.manifest("s4_scored")["counters"]["pairs_scored"] > 0
+
+    # kill the tail stages; rerun must resume, keep early outputs untouched
+    # (byte-identical data dir mtimes) and reproduce identical assignments
+    early_mtime = os.path.getmtime(os.path.join(root, "s0_features", "manifest.json"))
+    shutil.rmtree(os.path.join(root, "s6_clusters"))
+    shutil.rmtree(os.path.join(root, "s7_assignments"))
+    out2 = run_linkage_checkpointed(files, cfg, root).to_pandas()
+    assert os.path.getmtime(os.path.join(root, "s0_features", "manifest.json")) == early_mtime
+    a = out1.sort_values("file_id").reset_index(drop=True)
+    b = out2.sort_values("file_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_config_change_invalidates(small_corpus, ckpt_root):
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.state.manifests import CheckpointedRun
+
+    root = os.path.join(ckpt_root, "run1")
+    cfg2 = LinkageConfig(salt_cap=16, join_partitions=4, scorer_concurrency=2)
+    run = CheckpointedRun(root, cfg2)
+    assert not run.is_complete("s0_features")  # fingerprint mismatch
+
+
+def test_alias_dictionary_reader(tmp_path):
+    from biomedical_entity_linking_ray.sources.readers import read_alias_dictionary
+
+    p = tmp_path / "dict.txt"
+    p.write_text("C1|C2||Heart Attack\nC3||stroke\nC9||HEART ATTACK\n\nbadline\n")
+    df = read_alias_dictionary(str(p)).to_pandas().sort_values("alias")
+    # alias lowercased + deduped (first wins, reference S10 semantics)
+    assert list(df["alias"]) == ["heart attack", "stroke"]
+    assert set(df["ids"]) <= {"C1|C2", "C3", "C9"}
+
+
+def test_record_block_reader(tmp_path):
+    from biomedical_entity_linking_ray.sources.readers import read_record_blocks
+
+    p = tmp_path / "corpus.txt"
+    p.write_text(
+        "d1|t|Title One\nd1|a|Body one.\nd1\t0\t5\tspan\ttype\tid\n"
+        "\n"
+        "d2|t|Title Two\nd2|a|Body two.\n"
+    )
+    df = read_record_blocks(str(p)).to_pandas().sort_values("doc_id")
+    assert list(df["doc_id"]) == ["d1", "d2"]
+    assert df.iloc[0]["n_annotations"] == 1
+    assert df.iloc[1]["title"] == "Title Two"
+
+
+def test_delimited_reader(tmp_path):
+    from biomedical_entity_linking_ray.sources.readers import read_delimited_table
+
+    p = tmp_path / "mr.psv"
+    p.write_text("a|1|x\nb|2|y\n")
+    df = read_delimited_table(str(p), column_names=["k", "n", "v"]).to_pandas()
+    assert list(df["k"]) == ["a", "b"]
+    assert list(df["n"]) == [1, 2]
+
+
+def test_files_table_reader_prunes(small_corpus, tmp_path):
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.sources.readers import read_files_table
+
+    p = tmp_path / "files.parquet"
+    pq.write_table(small_corpus.files, str(p))
+    ds = read_files_table(str(p), columns=["repo", "lang"], lang="python")
+    df = ds.to_pandas()
+    assert set(df.columns) == {"repo", "lang"}
+    assert (df["lang"] == "python").all()
