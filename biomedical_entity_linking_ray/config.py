@@ -26,7 +26,8 @@ class LinkageConfig:
     tf_dim: int = 128            # hashed term-frequency vector dimensionality
 
     # --- blocking keys ---
-    use_sha_key: bool = True     # exact sha256(content) key (stage-0 invariant)
+    # (no sha-key knob: exact duplicates are contracted away BEFORE blocking,
+    # so an exact-content key could never co-block anything new)
     use_minhash_keys: bool = True
     use_path_key: bool = True    # lang + filename-stem key (catches renamed near-dups)
 

@@ -42,6 +42,22 @@ def sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
 
 
+def fnv1a_fixed(strs, width: int = 130) -> np.ndarray:
+    """Vectorized FNV-1a over an array of strings, truncated/NUL-padded to
+    `width` bytes (loop over byte columns, not rows). Exact for strings up to
+    `width` bytes; longer strings hash on their prefix -- fine for checksums
+    over fixed-width ids (sha-hex file_ids are 64 chars)."""
+    b = np.asarray(strs, dtype=f"S{width}")
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    m = np.ascontiguousarray(b).view(np.uint8).reshape(b.size, width)
+    with np.errstate(over="ignore"):
+        h = np.full(b.size, _FNV_OFFSET, dtype=np.uint64)
+        for j in range(width):
+            h = (h ^ m[:, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer -- cheap strong mixing of uint64 arrays."""
     x = x.astype(np.uint64, copy=True)
@@ -204,7 +220,7 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
-def rolling_fingerprint(text: str, window: int = 64, modulus: int = 0) -> int:
+def rolling_fingerprint(text: str, window: int = 64) -> int:
     """Deterministic document fingerprint: min of rolling FNV window hashes.
 
     A winnowing-style fingerprint (Schleimer et al., SIGMOD'03 idea): hash all

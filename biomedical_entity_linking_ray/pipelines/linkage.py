@@ -9,9 +9,17 @@ Dataflow (all skinny shuffles; content read exactly once in stage 0):
 
     files ──map_batches──> feats (sha, sketches; content dropped)
       feats ──groupby(sha).min──> members(file_id, rep_id) + reps
-      reps ──explode keys──> (block_key, rep) ──salt──> groupby ──> pairs
-      pairs ──dedup──> join feats x2 ──actor pool──> scored ──filter──> edges
-      edges ──label propagation──> rep clusters ──join members──> assignments
+      reps ──explode keys──> (block_key, rep) ──salt──> groupby
+      blocks ──memberset dedup──> enrich once ──fused in-block scoring──>
+        scored pairs + star edges (local contraction)
+      star edges ──connected components──> rep clusters ──attach members──>
+        assignments
+
+Persistence: pass ``checkpoint_root`` to land every stage in a resumable
+Parquet checkpoint with a manifest (state/manifests.py) instead of pinning it
+in the object store -- the 100-TB path, where `feats` alone would not fit in
+cluster memory. Without a root, stages are `materialize()`d in the object
+store (the small/interactive path; the streaming executor spills if needed).
 """
 
 from __future__ import annotations
@@ -47,14 +55,56 @@ class LinkageResult:
     block_rows: "ray.data.Dataset"    # block_key, file_id (reps, post-salting)
     scored_pairs: "ray.data.Dataset"  # id_a, id_b, block_key, score_*, score
     edges: "ray.data.Dataset"         # scored pairs with score >= tau
+    star_edges: "ray.data.Dataset"    # (root, member) edges from local contraction
     assignments: "ray.data.Dataset"   # file_id, cluster_id, canonical_id, content_sha, repo, path, commit, lang
+
+
+def _empty_result(feats_schema_ds: "ray.data.Dataset") -> LinkageResult:
+    """Fully-typed empty result (an empty dataset has no schema in Ray, which
+    would break every downstream stage)."""
+    feats = ray.data.from_arrow(normalize.FEATURE_SCHEMA.empty_table())
+    empty_str2 = ray.data.from_arrow(pa.schema(
+        [("block_key", pa.string()), ("file_id", pa.string())]).empty_table())
+    empty_scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
+    return LinkageResult(
+        features=feats,
+        members=ray.data.from_arrow(pa.schema(
+            [("file_id", pa.string()), ("rep_id", pa.string()),
+             ("content_sha", pa.string())]).empty_table()),
+        reps=feats,
+        block_rows=empty_str2,
+        scored_pairs=empty_scored,
+        edges=empty_scored,
+        star_edges=empty_scored,
+        assignments=ray.data.from_arrow(_FULL_SCHEMA.empty_table()),
+    )
 
 
 def run_linkage(
     files: "ray.data.Dataset",
     cfg: LinkageConfig = DEFAULT_CONFIG,
     feature_concurrency: int | None = None,
+    checkpoint_root: str | None = None,
 ) -> LinkageResult:
+    """Run the flagship pipeline. With ``checkpoint_root``, every stage is a
+    resumable Parquet checkpoint (rerun with the same root + config resumes
+    after the last complete stage); without, stages pin in the object store."""
+    from biomedical_entity_linking_ray.stages import fused_scoring
+
+    ckpt = None
+    if checkpoint_root is not None:
+        from biomedical_entity_linking_ray.state.manifests import CheckpointedRun
+
+        ckpt = CheckpointedRun(checkpoint_root, cfg)
+
+    def persist(name: str, build):
+        """build() -> (dataset, counters). Checkpointed to parquet when a root
+        was given (lineage = files on disk, object store stays skinny),
+        object-store materialize otherwise."""
+        if ckpt is not None:
+            return ckpt.stage(name, build)
+        return build()[0].materialize()
+
     # A files table read from few parquet files arrives as few blocks, and
     # block count caps stage parallelism (one task per block): split the input
     # so the content scan fans out across the cluster.
@@ -64,52 +114,47 @@ def run_linkage(
         if _ray.is_initialized() else 32
     files = files.repartition(n_blocks)
 
-    feats = normalize.compute_features(files, cfg, concurrency=feature_concurrency)
-    # feats feeds contraction + the final lineage join: pin once instead of
-    # re-running the content scan.
-    feats = feats.materialize()
+    feats = persist("s0_features", lambda: (
+        normalize.compute_features(files, cfg, concurrency=feature_concurrency), {}))
     if feats.count() == 0:
-        # empty input: return a fully-typed empty result (an empty dataset has
-        # no schema in Ray, which would break every downstream stage)
-        feats = ray.data.from_arrow(normalize.FEATURE_SCHEMA.empty_table())
-        empty_str2 = ray.data.from_arrow(pa.schema(
-            [("block_key", pa.string()), ("file_id", pa.string())]).empty_table())
-        empty_scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
-        return LinkageResult(
-            features=feats,
-            members=ray.data.from_arrow(pa.schema(
-                [("file_id", pa.string()), ("rep_id", pa.string()),
-                 ("content_sha", pa.string())]).empty_table()),
-            reps=feats,
-            block_rows=empty_str2,
-            scored_pairs=empty_scored,
-            edges=empty_scored,
-            assignments=ray.data.from_arrow(_FULL_SCHEMA.empty_table()),
-        )
+        return _empty_result(feats)
 
-    members, reps = contraction.exact_contract(feats, cfg)
-    members = members.materialize()
-    reps = reps.materialize()
+    members = persist("s1_members", lambda: (
+        contraction.exact_contract(feats, cfg)[0], {}))
+    reps = persist("s1_reps", lambda: (
+        contraction.exact_contract(feats, cfg)[1], {}))
 
-    block_rows = blocking.emit_block_keys(reps, cfg).materialize()
-    # ^ consumed twice (hot-key counting + salting rewrite): pin, don't recompute
-    block_rows = blocking.salt_hot_keys(block_rows, cfg).materialize()
+    block_rows = persist("s2_blocks", lambda: (
+        blocking.salt_hot_keys(
+            blocking.emit_block_keys(reps, cfg).materialize(), cfg), {}))
+    # ^ inner materialize: emit output is consumed twice (hot-key counting +
+    # salting rewrite) within the stage build
 
     # fused stage 1.5/2: member-set block dedup -> enrich once -> in-block
     # scoring + local contraction (see stages/fused_scoring.py for why this
     # replaces the two-join pair-feature attach at scale)
-    from biomedical_entity_linking_ray.stages import fused_scoring
+    enriched = persist("s3_enriched", lambda: (
+        fused_scoring.enrich_block_rows(
+            fused_scoring.dedup_blocks_by_memberset(block_rows, cfg), reps, cfg), {}))
 
-    blocks_dd = fused_scoring.dedup_blocks_by_memberset(block_rows, cfg)
-    enriched = fused_scoring.enrich_block_rows(blocks_dd, reps, cfg).materialize()
     if enriched.count() == 0:
         scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
-        edges = scored
+        stars = scored
+    elif ckpt is not None and ckpt.is_complete("s4_scored") and ckpt.is_complete("s5_stars"):
+        scored = ckpt.read_stage("s4_scored")
+        stars = ckpt.read_stage("s5_stars")
     else:
-        scored, edges = fused_scoring.score_blocks(enriched, cfg)
+        scored, stars = fused_scoring.score_blocks(enriched, cfg)
         scored = scored.materialize()
+        if ckpt is not None:
+            scored = ckpt.write_stage(
+                "s4_scored", scored, {"pairs_scored": scored.count()})
+            stars = ckpt.write_stage("s5_stars", stars, {})
+        else:
+            stars = stars.materialize()
 
-    rep_assign = clustering.connected_components(edges, reps, cfg).materialize()
+    rep_assign = persist("s6_clusters", lambda: (
+        clustering.connected_components(stars, reps, cfg), {}))
 
     # members inherit their representative's cluster; members already carry
     # the lineage columns (content_sha, repo, path, commit, lang) from
@@ -117,26 +162,25 @@ def run_linkage(
     # broadcast the rep->cluster map when it fits (ray.put once, vectorized
     # lookup per batch); hash join beyond the bound (the 10^12-scale path).
     P = effective_partitions(cfg)
-    if rep_assign.count() <= cfg.broadcast_labels_max:
-        import pandas as _pd
 
-        lab_df = rep_assign.select_columns(["file_id", "cluster_id"]).to_pandas()
-        lab_ref = ray.put(dict(zip(lab_df["file_id"], lab_df["cluster_id"])))
+    def build_assignments():
+        if rep_assign.count() <= cfg.broadcast_labels_max:
+            lab_df = rep_assign.select_columns(["file_id", "cluster_id"]).to_pandas()
+            lab_ref = ray.put(dict(zip(lab_df["file_id"], lab_df["cluster_id"])))
 
-        def attach(t: pa.Table) -> pa.Table:
-            lab = ray.get(lab_ref)
-            reps_col = t["rep_id"].to_pylist()
-            cl = [lab.get(r, r) for r in reps_col]
-            return pa.table({
-                "file_id": t["file_id"], "cluster_id": pa.array(cl, pa.string()),
-                "canonical_id": pa.array(cl, pa.string()),
-                "content_sha": t["content_sha"], "repo": t["repo"],
-                "path": t["path"], "commit": t["commit"], "lang": t["lang"],
-            })
+            def attach(t: pa.Table) -> pa.Table:
+                lab = ray.get(lab_ref)
+                reps_col = t["rep_id"].to_pylist()
+                cl = [lab.get(r, r) for r in reps_col]
+                return pa.table({
+                    "file_id": t["file_id"], "cluster_id": pa.array(cl, pa.string()),
+                    "canonical_id": pa.array(cl, pa.string()),
+                    "content_sha": t["content_sha"], "repo": t["repo"],
+                    "path": t["path"], "commit": t["commit"], "lang": t["lang"],
+                })
 
-        assign_full = members.map_batches(attach, batch_format="pyarrow")
-    else:
-        assign_full = hash_join(
+            return members.map_batches(attach, batch_format="pyarrow"), {}
+        joined = hash_join(
             members, rep_assign, "inner", P, on=("rep_id",), right_on=("file_id",),
             right_suffix="_rep",
         ).map_batches(
@@ -145,6 +189,12 @@ def run_linkage(
             )),
             batch_format="pyarrow",
         )
+        return joined, {}
+
+    if ckpt is not None:
+        assign_full = persist("s7_assignments", build_assignments)
+    else:
+        assign_full = build_assignments()[0]  # lazy: consumer decides
 
     return LinkageResult(
         features=feats,
@@ -152,16 +202,25 @@ def run_linkage(
         reps=reps,
         block_rows=block_rows,
         scored_pairs=scored,
-        edges=edges,
+        # ADVICE fix: `edges` is what the docstring promises -- scored pairs at
+        # score >= tau; the synthetic-score star edges are exposed separately.
+        edges=scoring.threshold_edges(scored, cfg),
+        star_edges=stars,
         assignments=assign_full,
     )
 
 
 def cluster_summary(result: LinkageResult) -> "ray.data.Dataset":
-    """(cluster_id, size) for clusters with >= 2 members, largest first
-    (reference analog: cluster extraction keeps components with >= 2 nodes,
-    eval_cluster_linking.py:134-146)."""
+    """(cluster_id, size, n_langs) for clusters with >= 2 members, largest
+    first (reference analog: cluster extraction keeps components with >= 2
+    nodes, eval_cluster_linking.py:134-146; per-type grouping,
+    evaluate.py:686-874)."""
     from ray.data.aggregate import Count
 
-    sizes = result.assignments.groupby("cluster_id").aggregate(Count(alias_name="size"))
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    sizes = bucketed_aggregate(
+        result.assignments.select_columns(["cluster_id", "lang"]),
+        ["cluster_id"], {"size": ("lang", "count"), "n_langs": ("lang", "nunique")},
+    )
     return sizes.filter(expr="size >= 2").sort("size", descending=True)

@@ -134,12 +134,15 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0) -> "ray.d
         columns=["o_custkey"],
         filters=[("o_totalprice", ">", min_price)],
     )["o_custkey"]
-    key_ref = ray.put(set(okeys.to_pylist()))
+    # broadcast the deduplicated Arrow array itself: zero-copy read per task,
+    # vectorized is_in per batch (no Python membership loop, no per-batch
+    # set -> array rebuild)
+    key_ref = ray.put(pc.unique(okeys.combine_chunks()))
 
     def anti(t: pa.Table) -> pa.Table:
         keys = ray.get(key_ref)
-        mask = [k not in keys for k in t["c_custkey"].to_pylist()]
-        return t.filter(pa.array(mask))
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
+        return t.filter(mask)
 
     return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
         anti, batch_format="pyarrow"
@@ -155,11 +158,12 @@ def parts_with_lineitems(sf_dir: str) -> "ray.data.Dataset":
 
     pkeys = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
                           columns=["l_partkey"])["l_partkey"]
-    key_ref = ray.put(set(pkeys.to_pylist()))
+    # dedup once driver-side, broadcast the Arrow array (read zero-copy per
+    # task -- never rebuilt per batch)
+    key_ref = ray.put(pc.unique(pkeys.combine_chunks()))
 
     def semi(t: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        mask = pc.is_in(t["p_partkey"], value_set=pa.array(list(keys), pa.int64()))
+        mask = pc.is_in(t["p_partkey"], value_set=ray.get(key_ref))
         return t.filter(mask)
 
     return _round_cols(
@@ -199,20 +203,30 @@ def union_order_extremes(sf_dir: str) -> "ray.data.Dataset":
 # A10/O1 analog: within-group ordered enumeration (mention-id assignment)
 # ---------------------------------------------------------------------------
 
-def lineitem_sequence(sf_dir: str) -> "ray.data.Dataset":
+def lineitem_sequence(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     """Per-order line sequencing by (shipdate, linenumber) -- the target-domain
     analog of per-document mention-id assignment (`make_mention_id`,
-    bigbio_utils.py:122-127): ordering is needed only WITHIN a group, so it is
-    a per-group sort in map_groups, never a global sort."""
+    bigbio_utils.py:122-127): ordering is needed only WITHIN a group, never
+    globally. Orders are hash-bucketed (one shuffle whose group count is
+    `n_buckets`, independent of order cardinality -- the per-group-overhead
+    fix in functions/groups.py) and each bucket does ONE vectorized
+    sort + groupby.cumcount over all its orders."""
+    from biomedical_entity_linking_ray.functions import hashing
 
-    def seq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["l_shipdate", "l_linenumber"]).reset_index(drop=True)
-        g["seq"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy().astype(np.uint64)
+        b = (hashing.splitmix64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def seq_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_shipdate", "l_linenumber"],
+                          kind="mergesort").reset_index(drop=True)
+        g["seq"] = g.groupby("l_orderkey").cumcount().to_numpy() + 1
         return g[["l_orderkey", "l_linenumber", "seq"]]
 
-    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]).groupby(
-        "l_orderkey"
-    ).map_groups(seq, batch_format="pandas")
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]) \
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=65536) \
+        .groupby("__bucket").map_groups(seq_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

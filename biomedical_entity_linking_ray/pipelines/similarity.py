@@ -31,11 +31,19 @@ def _read_embeddings(sf_dir: str) -> "ray.data.Dataset":
 
 def load_query_matrix(sf_dir: str, n_queries: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic queries: the first `n_queries` vectors of the table itself
-    (self-retrieval benchmark -- rank-1 hit must be the vector's own id)."""
+    (self-retrieval benchmark -- rank-1 hit must be the vector's own id).
+
+    The read is row-group-pruned with a `vec_id < n_queries` predicate -- at
+    100 TB the query load touches one row group, never the whole table. Falls
+    back to a full scan only if ids turn out non-dense (filtered read returns
+    fewer than n rows)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_queries)])
+    if t.num_rows < n_queries:  # non-dense ids: full scan fallback (small data)
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
     df = t.to_pandas().sort_values("vec_id").head(n_queries)  # n smallest ids:
     # deterministic + oracle-expressible (ORDER BY vec_id LIMIT n)
     q = np.array(list(df["embedding"]), dtype=np.float64)
@@ -68,12 +76,14 @@ def knn_bruteforce(
         # in Ray and in the DuckDB oracle (both then tie-break by vec_id)
         sims = np.round(Qu_ @ Vu.T, 4)  # (q, n)
         kk = min(k, ids.size)
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids_)):
+            # local cut must respect the global (cosine DESC, vec_id ASC)
+            # order: a plain argpartition drops boundary ties arbitrarily
+            order = np.lexsort((ids, -sims[qi]))[:kk]
             out_q.extend([int(qids_[qi])] * kk)
-            out_v.extend(ids[top[qi]].tolist())
-            out_s.extend(sims[qi, top[qi]].tolist())
+            out_v.extend(ids[order].tolist())
+            out_s.extend(sims[qi, order].tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             "vec_id": pa.array(out_v, pa.int64()),
@@ -107,34 +117,33 @@ def knn_lsh(
     planes = [rng.randn(lsh_planes, Q.shape[1]).astype(np.float32) for _ in range(rotations)]
     Qu = Qu.astype(np.float32)
 
-    q_buckets: dict[str, list[int]] = {}
-    for r, P in enumerate(planes):
-        codes = ((Qu @ P.T) > 0) @ (1 << np.arange(lsh_planes))
-        for i, c in enumerate(codes):
-            q_buckets.setdefault(f"{r}:{int(c)}", []).append(i)
-    bc_ref = ray.put((qids, Qu, planes, q_buckets))
+    # per-rotation sign codes of the queries, (rotations, n_queries)
+    q_codes = np.stack([
+        ((Qu @ P.T) > 0) @ (1 << np.arange(lsh_planes)) for P in planes
+    ])
+    bc_ref = ray.put((qids, Qu, planes, q_codes))
 
     def local_topk(t: pa.Table) -> pa.Table:
-        qids_, Qu_, planes_, qb = ray.get(bc_ref)
+        qids_, Qu_, planes_, qcodes_ = ray.get(bc_ref)
         V = np.array(t["embedding"].to_pylist(), dtype=np.float32)
         vn = np.linalg.norm(V, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         Vu = V / vn
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        # which queries share a bucket with which vectors
+        # which queries share a bucket with which vectors: one broadcast
+        # code-equality compare per rotation (no per-row Python loop)
         cand_mask = np.zeros((len(qids_), ids.size), dtype=bool)
         for r, P in enumerate(planes_):
             codes = ((Vu @ P.T) > 0) @ (1 << np.arange(P.shape[0]))
-            for j, c in enumerate(codes):
-                for qi in qb.get(f"{r}:{int(c)}", ()):
-                    cand_mask[qi, j] = True
+            cand_mask |= qcodes_[r][:, None] == codes[None, :]
         sims = Qu_ @ Vu.T
         sims[~cand_mask] = -2.0  # outside candidate set
         kk = min(k, ids.size)
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids_)):
-            for j in top[qi]:
+            # same (cosine DESC, vec_id ASC)-respecting local cut as brute force
+            order = np.lexsort((ids, -sims[qi]))[:kk]
+            for j in order:
                 if sims[qi, j] > -2.0:
                     out_q.append(int(qids_[qi]))
                     out_v.append(int(ids[j]))

@@ -35,9 +35,11 @@ def read_alias_dictionary(paths: str | list[str]) -> "ray.data.Dataset":
 
     Reference analog: S10 DictionaryDataset.load_data
     (bioel/bioel/models/sapbert/data/utils.py:59-98): lines are
-    ``CUI||name``, names lowercased, duplicate names collapsed keeping the
-    first id set. Parsing is a stateless flat map over text lines; the dedup
-    is a bucketed first-wins aggregate.
+    ``CUI||name``, names lowercased, duplicate names collapsed. The reference
+    keeps the first id set in FILE order; under unordered parallel shuffle
+    "first" is nondeterministic, so the winner here is the lexicographically
+    smallest id set (deterministic at any parallelism -- the repo-wide
+    determinism rule outranks byte-for-byte parity on this tie-break).
     """
 
     def parse(t: pa.Table) -> pa.Table:
@@ -57,7 +59,7 @@ def read_alias_dictionary(paths: str | list[str]) -> "ray.data.Dataset":
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 
     rows = ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")
-    return bucketed_aggregate(rows, ["alias"], {"ids": ("ids", "first")})
+    return bucketed_aggregate(rows, ["alias"], {"ids": ("ids", "min")})
 
 
 _BLOCK_HEADER = re.compile(r"^(?P<id>[^|]+)\|(?P<kind>[ta])\|(?P<text>.*)$")

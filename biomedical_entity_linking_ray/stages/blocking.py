@@ -182,27 +182,37 @@ def attach_pair_features(
     feature table -- the at-scale replacement for carrying KB-sized payloads
     through the blocking shuffles.
     """
+    from biomedical_entity_linking_ray.functions.joins import heal_projection
+
     feats = reps.select_columns(_FEATS)
     P = effective_partitions(cfg)
+
+    _A_SCHEMA = pa.schema([
+        ("id_a", pa.string()), ("id_b", pa.string()), ("block_key", pa.string()),
+        ("path_a", pa.string()), ("sig_a", pa.binary()), ("vec_a", pa.binary()),
+    ])
+    _AB_SCHEMA = pa.schema(list(_A_SCHEMA) + [
+        ("path_b", pa.string()), ("sig_b", pa.binary()), ("vec_b", pa.binary()),
+    ])
 
     a = hash_join(
         pairs, feats, "inner", P, on=("id_a",), right_on=("file_id",),
         right_suffix="_ra",
     ).map_batches(
-        lambda t: pa.table({
+        heal_projection(_A_SCHEMA, lambda t: pa.table({
             "id_a": t["id_a"], "id_b": t["id_b"], "block_key": t["block_key"],
             "path_a": t["path_norm"], "sig_a": t["sig"], "vec_a": t["tfvec"],
-        }),
+        })),
         batch_format="pyarrow",
     )
     return hash_join(
         a, feats, "inner", P, on=("id_b",), right_on=("file_id",),
         right_suffix="_rb",
     ).map_batches(
-        lambda t: pa.table({
+        heal_projection(_AB_SCHEMA, lambda t: pa.table({
             "id_a": t["id_a"], "id_b": t["id_b"], "block_key": t["block_key"],
             "path_a": t["path_a"], "sig_a": t["sig_a"], "vec_a": t["vec_a"],
             "path_b": t["path_norm"], "sig_b": t["sig"], "vec_b": t["tfvec"],
-        }),
+        })),
         batch_format="pyarrow",
     )

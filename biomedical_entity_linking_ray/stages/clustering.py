@@ -61,9 +61,11 @@ def _checksum(labels: "ray.data.Dataset") -> int:
     round imply (whp) no label changed."""
 
     def batch_xor(t: pa.Table) -> pa.Table:
-        x = np.uint64(0)
-        for nd, lb in zip(t["node"].to_pylist(), t["label"].to_pylist()):
-            x ^= np.uint64(hashing.fnv1a_str(f"{nd}|{lb}"))
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([0], pa.uint64())})
+        joined = (t["node"].to_pandas() + "|" + t["label"].to_pandas()).to_numpy()
+        h = hashing.fnv1a_fixed(joined, width=130)  # 64+1+64 sha-hex ids + pad
+        x = np.bitwise_xor.reduce(h)
         return pa.table({"x": pa.array([int(x)], pa.uint64())})
 
     acc = 0

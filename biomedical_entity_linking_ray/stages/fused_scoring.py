@@ -41,7 +41,7 @@ from biomedical_entity_linking_ray.config import LinkageConfig, effective_partit
 from biomedical_entity_linking_ray.functions import hashing
 from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
-from biomedical_entity_linking_ray.functions.strings import jaro_winkler
+from biomedical_entity_linking_ray.functions.strings import jaro_winkler_pairs
 
 
 def dedup_blocks_by_memberset(
@@ -162,10 +162,7 @@ def score_blocks(
         jac = (sigs[ia] == sigs[ib]).mean(axis=1)
         cos = np.einsum("ij,ij->i", vecs[ia], vecs[ib]).astype(np.float64)
         np.clip(cos, -1.0, 1.0, out=cos)
-        jw = np.fromiter(
-            (jaro_winkler(a, b) for a, b in zip(paths[ia], paths[ib])),
-            dtype=np.float64, count=ia.size,
-        )
+        jw = jaro_winkler_pairs(paths[ia], paths[ib])
         score = w_jw * jw + w_jac * jac + w_cos * cos
 
         pairs = pd.DataFrame({

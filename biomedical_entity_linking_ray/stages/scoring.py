@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from biomedical_entity_linking_ray.config import LinkageConfig
-from biomedical_entity_linking_ray.functions.strings import jaro_winkler
+from biomedical_entity_linking_ray.functions.strings import jaro_winkler_pairs
 
 
 def _binary_to_np(col: pa.ChunkedArray, width: int, dtype) -> np.ndarray:
@@ -57,12 +57,7 @@ class PairScorer:
         jac = (sig_a == sig_b).mean(axis=1)
         cos = np.einsum("ij,ij->i", vec_a, vec_b).astype(np.float64)
         np.clip(cos, -1.0, 1.0, out=cos)
-        pa_list = batch["path_a"].to_pylist()
-        pb_list = batch["path_b"].to_pylist()
-        jw = np.fromiter(
-            (jaro_winkler(a, b) for a, b in zip(pa_list, pb_list)),
-            dtype=np.float64, count=n,
-        )
+        jw = jaro_winkler_pairs(batch["path_a"].to_pylist(), batch["path_b"].to_pylist())
         score = self.w_jw * jw + self.w_jac * jac + self.w_cos * cos
 
         return pa.table({

@@ -89,6 +89,17 @@ class CheckpointedRun:
         shutil.rmtree(data_dir, ignore_errors=True)
         os.makedirs(tmp_dir, exist_ok=True)
         ds.write_parquet(tmp_dir)
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+            # empty dataset: land one schema-typed empty file so read_stage
+            # round-trips (write_parquet writes nothing for zero rows)
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            schema = ds.schema()
+            _pq.write_table(
+                pa.schema(zip(schema.names, schema.types)).empty_table(),
+                os.path.join(tmp_dir, "empty_000.parquet"),
+            )
         os.replace(tmp_dir, data_dir)  # atomic publish of the data directory
 
         import pyarrow.parquet as pq
@@ -147,66 +158,14 @@ def run_linkage_checkpointed(
     """Checkpointed flagship pipeline: each stage lands in <root>/<stage>/
     and a rerun (same root + config) resumes after the last complete stage.
 
+    Thin wrapper over ``run_linkage(checkpoint_root=...)`` -- the checkpointed
+    and in-memory paths share ONE implementation (fused in-block scoring, no
+    standalone pair-join/score actor pool), so the two cannot drift and the
+    CPU-reservation profile is identical (the round-1 un-fused checkpoint path
+    deadlocked the 4-CPU test session with idle scorer + aggregator actors).
+
     Returns the final assignments dataset (read from its checkpoint).
     """
-    from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
-    from biomedical_entity_linking_ray.pipelines import linkage as L
-    from biomedical_entity_linking_ray.stages import (
-        blocking, clustering, contraction, normalize, scoring,
-    )
-    import pyarrow as pa
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
 
-    run = CheckpointedRun(root, cfg)
-
-    feats = run.stage("s0_features", lambda: (
-        normalize.compute_features(files.repartition(32), cfg), {}))
-
-    def _contract():
-        members, reps = contraction.exact_contract(feats, cfg)
-        return members, {"note": "reps checkpointed separately"}
-
-    members = run.stage("s1_members", _contract)
-    reps = run.stage("s1_reps", lambda: (
-        contraction.exact_contract(feats, cfg)[1], {}))
-
-    blocks = run.stage("s2_blocks", lambda: (
-        blocking.salt_hot_keys(blocking.emit_block_keys(reps, cfg), cfg), {}))
-
-    pairs = run.stage("s3_pairs", lambda: (
-        blocking.generate_pairs(blocks, cfg), {}))
-
-    def _score():
-        if pairs.count() == 0:
-            return ray.data.from_arrow(scoring.EMPTY_SCORED), {"pairs_scored": 0}
-        scored = scoring.score_pairs(blocking.attach_pair_features(pairs, reps, cfg), cfg)
-        return scored, {"pairs_scored": pairs.count()}
-
-    scored = run.stage("s4_scored", _score)
-
-    edges = run.stage("s5_edges", lambda: (
-        scoring.threshold_edges(scored, cfg), {"tau": cfg.tau}))
-
-    rep_assign = run.stage("s6_clusters", lambda: (
-        clustering.connected_components(edges, reps, cfg), {}))
-
-    def _final():
-        P = cfg.join_partitions
-        assign = hash_join(
-            members, rep_assign, "inner", P, on=("rep_id",), right_on=("file_id",),
-            right_suffix="_rep",
-        ).map_batches(
-            heal_projection(L._ASSIGN_SCHEMA, lambda t: pa.table({
-                "file_id": t["file_id"], "cluster_id": t["cluster_id"],
-                "canonical_id": t["canonical_id"], "content_sha": t["content_sha"],
-            })),
-            batch_format="pyarrow",
-        )
-        lineage = feats.select_columns(["file_id", "repo", "path", "commit", "lang"])
-        full = hash_join(assign, lineage, "inner", P, on=("file_id",)).map_batches(
-            heal_projection(L._FULL_SCHEMA, lambda t: pa.table(
-                {c: t[c] for c in L._FULL_SCHEMA.names})),
-            batch_format="pyarrow",
-        )
-        return full, {}
-
-    return run.stage("s7_assignments", _final)
+    return run_linkage(files, cfg, checkpoint_root=root).assignments

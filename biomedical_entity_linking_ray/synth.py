@@ -299,7 +299,14 @@ def generate_corpus_sharded(cfg: SynthConfig, shards: int) -> SynthCorpus:
     @_ray.remote(num_cpus=1)
     def gen(shard: int) -> tuple:
         c = generate_corpus(SynthConfig(**{**sub.__dict__, "seed": cfg.seed + 1000 * shard}))
-        return c.files, c.gold_pairs, c.gold_clusters
+        # cluster ids restart at cl000000 inside every shard: prefix with the
+        # shard index so concatenated gold labels never conflate two planted
+        # clusters from different shards
+        gc = c.gold_clusters
+        cids = pa.array([f"sh{shard:02d}_{x}" for x in gc["cluster_id"].to_pylist()],
+                        pa.string())
+        gc = gc.set_column(gc.schema.get_field_index("cluster_id"), "cluster_id", cids)
+        return c.files, c.gold_pairs, gc
 
     parts = _ray.get([gen.remote(i) for i in range(shards)])
     files = pa.concat_tables(p[0] for p in parts)
