@@ -142,18 +142,30 @@ def run_linkage_only() -> dict:
 
 
 def run_scaling() -> dict:
+    import shutil
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        cmd = [sys.executable, os.path.abspath(__file__), "--linkage-only"]
+        if shutil.which("taskset"):
+            # pin to a REAL n-core cpuset: ray.init(num_cpus=n) only gates task
+            # scheduling -- untracked threads (Arrow kernels, object store)
+            # would otherwise overshoot the budget and corrupt the N-vs-4N
+            # hardware proxy
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--linkage-only"],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    run(lo) if os.environ.get("GRAFT_SCALING_WARM") else None  # optional warm run
-    r_lo = run(lo)
-    r_hi = run(hi)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    # best-of-N per CPU count: the sandbox VM shares its host, so single runs
+    # carry up to ~40% noise; min wall-time approximates uncontended hardware
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

@@ -67,11 +67,8 @@ def within_key_pairs(
     rows = hash_join(rows, multi, "left_semi", join_partitions, on=(key_col,))
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        b = np.fromiter(
-            (hashing.fnv1a_str(str(k)) % n_coarse for k in keys),
-            dtype=np.int64, count=len(keys),
-        )
+        h = hashing.fnv1a_fixed(t[key_col].to_numpy(zero_copy_only=False), width=96)
+        b = (h % np.uint64(n_coarse)).astype(np.int64)
         return t.append_column("__coarse", pa.array(b))
 
     coarse = rows.map_batches(add_coarse, batch_format="pyarrow")

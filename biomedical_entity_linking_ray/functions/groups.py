@@ -26,7 +26,11 @@ _AGGS = {"min", "max", "sum", "count", "first", "nunique", "mean"}
 
 
 def _bucket_of(df_keys: pd.DataFrame, n_buckets: int) -> np.ndarray:
-    """Deterministic uint bucket from the concatenated key columns."""
+    """Deterministic uint bucket from the concatenated key columns.
+
+    String keys hash with the vectorized fixed-width FNV (prefix-truncated at
+    96 bytes -- collisions only merge buckets, the in-bucket groupby still
+    splits on the true key, so correctness and determinism are unaffected)."""
     acc = np.zeros(len(df_keys), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c in df_keys.columns:
@@ -34,10 +38,7 @@ def _bucket_of(df_keys: pd.DataFrame, n_buckets: int) -> np.ndarray:
             if pd.api.types.is_integer_dtype(col):
                 h = hashing.splitmix64(col.to_numpy().astype(np.uint64))
             else:
-                h = np.fromiter(
-                    (hashing.fnv1a_str(str(v)) for v in col),
-                    dtype=np.uint64, count=len(col),
-                )
+                h = hashing.fnv1a_fixed(col.to_numpy(), width=96)
             acc = hashing.splitmix64(acc ^ h)
     return (acc % np.uint64(n_buckets)).astype(np.int64)
 

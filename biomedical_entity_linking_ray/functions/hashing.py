@@ -47,7 +47,14 @@ def fnv1a_fixed(strs, width: int = 130) -> np.ndarray:
     `width` bytes (loop over byte columns, not rows). Exact for strings up to
     `width` bytes; longer strings hash on their prefix -- fine for checksums
     over fixed-width ids (sha-hex file_ids are 64 chars)."""
-    b = np.asarray(strs, dtype=f"S{width}")
+    a = np.asarray(strs)
+    try:
+        b = a.astype(f"S{width}")  # fast path: ASCII keys (ids, block keys)
+    except (UnicodeEncodeError, TypeError):
+        b = np.array(
+            [str(x).encode("utf-8", "surrogatepass")[:width] for x in a.ravel()],
+            dtype=f"S{width}",
+        )
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     m = np.ascontiguousarray(b).view(np.uint8).reshape(b.size, width)
@@ -107,35 +114,59 @@ _TOKEN_SPLIT = re.compile(r"[A-Za-z0-9_]+")
 
 
 class MinHasher:
-    """MinHash over 64-bit shingle hashes with `num_perm` affine permutations.
+    """One-permutation MinHash (OPH) over 64-bit shingle hashes.
 
-    Permutation params derive from `seed` only. h_i(x) = a_i*x + b_i (mod 2^64)
-    with odd a_i -- a standard multiply-shift family; min over shingles per i.
+    One seeded affine permutation h(x) = a*x + b (mod 2^64) maps every shingle
+    once; shingles are binned by their top bits into `num_perm` bins and the
+    per-bin minimum is the signature slot (Li, Owen & Zhang, NIPS 2012). Empty
+    bins borrow the nearest filled bin to the left, circularly (rotation
+    densification, Shrivastava & Li 2014). Cost is O(shingles) per document --
+    the classical k-permutation scheme's O(num_perm * shingles) multiply
+    traffic made the feature scan memory-bandwidth-bound, which destroyed
+    multi-core scaling.
+
+    P(sig_a[i] == sig_b[i]) ~= Jaccard(A, B), same as classical MinHash.
     """
 
     def __init__(self, num_perm: int, seed: int):
         rng = np.random.RandomState(seed)
-        # odd multipliers, arbitrary addends; dtype uint64 via two 32-bit draws
-        lo = rng.randint(0, 2**32, size=num_perm * 2, dtype=np.uint64)
-        hi = rng.randint(0, 2**32, size=num_perm * 2, dtype=np.uint64)
+        lo = rng.randint(0, 2**32, size=2, dtype=np.uint64)
+        hi = rng.randint(0, 2**32, size=2, dtype=np.uint64)
         params = (hi << np.uint64(32)) | lo
-        self.a = params[:num_perm] | np.uint64(1)
-        self.b = params[num_perm:]
+        self.a = params[0] | np.uint64(1)  # odd multiplier
+        self.b = params[1]
         self.num_perm = num_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """(num_perm,) uint64 signature. Empty input -> all-max sentinel."""
+        P = self.num_perm
         if shingles.size == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+            return np.full(P, np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            # (num_perm, n_shingles) transient; chunk shingles to bound memory
-            out = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-            step = 4096
-            for s in range(0, shingles.size, step):
-                chunk = shingles[s : s + step]
-                m = self.a[:, None] * chunk[None, :] + self.b[:, None]
-                np.minimum(out, m.min(axis=1), out=out)
-        return out
+            h = self.a * shingles.astype(np.uint64) + self.b
+        # bin by the HIGH bits: the per-bin min then keeps its low bits
+        # uniform, so a truncated (uint16) signature stays fully informative
+        bins = (h // np.uint64((2**64) // P)).astype(np.int64)
+        np.clip(bins, 0, P - 1, out=bins)
+        # per-bin min via ONE sort + reduceat (no ufunc.at, no perm loop)
+        order = np.argsort(bins, kind="stable")
+        bs, vs = bins[order], h[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        sig = np.full(P, np.iinfo(np.uint64).max, dtype=np.uint64)
+        sig[bs[starts]] = np.minimum.reduceat(vs, starts)
+        # rotation densification: an empty bin takes the nearest filled bin to
+        # its left (wrapping), mixed with its own index so borrowed slots do
+        # not trivially agree across documents that share only the donor bin
+        empty = sig == np.iinfo(np.uint64).max
+        if empty.any() and not empty.all():
+            idx = np.where(~empty, np.arange(P), -1)
+            np.maximum.accumulate(idx, out=idx)
+            wrap = idx < 0
+            if wrap.any():
+                idx[wrap] = idx[-1]  # wrap to the last filled bin
+            borrowed = splitmix64(sig[idx[empty]] + np.arange(P, dtype=np.uint64)[empty])
+            sig[empty] = borrowed
+        return sig
 
     @staticmethod
     def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

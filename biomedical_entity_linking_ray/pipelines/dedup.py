@@ -64,7 +64,7 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 class _DocSketcher:
-    """Actor: MinHash permutation table built once; emits per-doc signature."""
+    """MinHash permutation table built once per worker; emits per-doc signature."""
 
     def __init__(self, num_perm: int, shingle_k: int, seed: int):
         self.h = hashing.MinHasher(num_perm, seed)
@@ -83,6 +83,22 @@ class _DocSketcher:
         })
 
 
+# Per-worker-process sketcher cache (same pattern as normalize._extract_batch):
+# stateless tasks reuse long-lived Ray workers, so the permutation table builds
+# once per worker with no actor-pool CPU reservation -- a reserved pool here
+# can deadlock against join aggregators when the dataset is branch-consumed.
+_SKETCHER_CACHE: dict[tuple, _DocSketcher] = {}
+
+
+def _sketch_batch(t: pa.Table, num_perm: int, shingle_k: int, seed: int) -> pa.Table:
+    key = (num_perm, shingle_k, seed)
+    sk = _SKETCHER_CACHE.get(key)
+    if sk is None:
+        sk = _DocSketcher(num_perm, shingle_k, seed)
+        _SKETCHER_CACHE[key] = sk
+    return sk(t)
+
+
 def minhash_near_dup_pairs(
     sf_dir: str,
     num_perm: int = 128,
@@ -90,32 +106,51 @@ def minhash_near_dup_pairs(
     shingle_k: int = 4,
     jaccard_threshold: float = 0.6,
     seed: int = 42,
+    spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, jaccard_est) candidate near-dup pairs above threshold.
 
-    shingle+minhash per batch -> explode (band, hash, doc) -> bucket groupby ->
-    within-bucket pairs -> signature-verified Jaccard filter (guide pattern).
+    shingle+minhash per batch -> explode (band, hash, doc, SIG) -> bucket
+    groupby -> within-bucket pairs with the signature riding the bucket row,
+    Jaccard-verified in the same pass (the payload-through-bucket pattern,
+    same shape as simhash below) -> cross-band dedup by max estimate. No
+    feature joins.
+
+    The skinny sketch table (id + num_perm*8 bytes/doc; text dropped) is
+    branch-consumed by the pair enumerator (singleton-bucket drop + coarse
+    groupby), so it is pinned once -- in the object store by default (spills
+    under pressure), or as a Parquet checkpoint when `spill_dir` is given
+    (the 100-TB path: lineage on disk, object store stays free).
     """
-    from biomedical_entity_linking_ray.stages.normalize import pool_size
+    import functools
 
     sketches = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _DocSketcher, fn_constructor_args=(num_perm, shingle_k, seed),
-        batch_format="pyarrow", batch_size=1024, concurrency=pool_size(8),
-    ).materialize()
+        functools.partial(_sketch_batch, num_perm=num_perm,
+                          shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow", batch_size=1024,
+    )
+    if spill_dir is not None:
+        sketches.write_parquet(spill_dir)
+        sketches = ray.data.read_parquet(spill_dir)
+    else:
+        sketches = sketches.materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        sigs = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        sig_list = t["sig"].to_pylist()
+        sigs = np.frombuffer(b"".join(sig_list), dtype=np.uint64).reshape(n, num_perm)
         bh = hashing.band_hashes_batch(sigs, bands)
         ids = t["doc_id"].to_pylist()
-        keys, out_ids = [], []
+        keys, out_ids, out_sigs = [], [], []
         for i in range(n):
             for b in range(bands):
                 keys.append(f"{b}:{bh[i, b]:016x}")
                 out_ids.append(ids[i])
+                out_sigs.append(sig_list[i])
         return pa.table({
             "bucket": pa.array(keys, pa.string()),
             "doc_id": pa.array(out_ids, pa.int64()),
+            "sig": pa.array(out_sigs, pa.binary()),
         })
 
     buckets = sketches.map_batches(explode, batch_format="pyarrow", batch_size=2048)
@@ -123,38 +158,22 @@ def minhash_near_dup_pairs(
     from biomedical_entity_linking_ray.functions.candidate_pairs import within_key_pairs
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 
-    cand = within_key_pairs(buckets, "bucket", "doc_id")
-    cand = bucketed_aggregate(
-        cand, ["id_a", "id_b"], {"bucket": ("bucket", "min")}
-    ).select_columns(["id_a", "id_b"])  # distinct pairs
-
-    from biomedical_entity_linking_ray.functions.joins import hash_join
-
-    feats = sketches
-    j1 = hash_join(cand, feats, "inner", 8, on=("id_a",), right_on=("doc_id",))
-    j1 = j1.map_batches(
-        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "sig_a": t["sig"]}),
-        batch_format="pyarrow",
-    )
-    j2 = hash_join(j1, feats, "inner", 8, on=("id_b",), right_on=("doc_id",))
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "jaccard_est": pa.array([], pa.float64())})
-        n = t.num_rows
-        sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
-        sb = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
-        j = (sa == sb).mean(axis=1)
+    def emit(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        if len(ia) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "jaccard_est": pd.Series(dtype=np.float64)})
+        sigs = np.frombuffer(b"".join(g["sig"].tolist()), dtype=np.uint64
+                             ).reshape(len(g), num_perm)
+        j = (sigs[ia] == sigs[ib]).mean(axis=1)
         keep = j >= jaccard_threshold
-        return pa.table({
-            "id_a": t["id_a"].filter(pa.array(keep)),
-            "id_b": t["id_b"].filter(pa.array(keep)),
-            "jaccard_est": pa.array(j[keep]),
-        })
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "jaccard_est": j[keep]})
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    pairs = within_key_pairs(buckets, "bucket", "doc_id", emit=emit)
+    return bucketed_aggregate(pairs, ["id_a", "id_b"],
+                              {"jaccard_est": ("jaccard_est", "max")})
 
 
 # ---------------------------------------------------------------------------
@@ -224,14 +243,20 @@ def simhash_near_dup_pairs(
 
 def ngram_jaccard_pairs(
     sf_dir: str, n: int = 3, threshold: float = 0.5,
+    candidates: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, jaccard) with EXACT token-n-gram Jaccard >= threshold.
 
-    Candidates come from MinHash-LSH buckets (cheap); the verify step recomputes
-    exact n-gram sets from the text via a feature join, so the output is an
-    exact-similarity operator, not an estimate.
+    Candidates are any (id_a, id_b) pair Dataset -- pass the output of a
+    sketch-based candidate generator to share it across verifiers; by default
+    one MinHash-LSH banding pass runs at threshold 0 (candidates only, no
+    second cascade). The verify step recomputes exact n-gram sets from the
+    text via a feature join, so the output is an exact-similarity operator,
+    not an estimate.
     """
-    cand = minhash_near_dup_pairs(sf_dir, jaccard_threshold=0.0)
+    cand = candidates if candidates is not None else \
+        minhash_near_dup_pairs(sf_dir, jaccard_threshold=0.0)
+    cand = cand.select_columns(["id_a", "id_b"])
 
     def gram_sets(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -248,11 +273,14 @@ def ngram_jaccard_pairs(
         gram_sets, batch_format="pyarrow", batch_size=2048
     ).materialize()
 
-    from biomedical_entity_linking_ray.functions.joins import hash_join
+    from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
 
+    _J1_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("grams_a", pa.binary())])
     j1 = hash_join(cand, feats, "inner", 8, on=("id_a",), right_on=("doc_id",))
     j1 = j1.map_batches(
-        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "grams_a": t["grams"]}),
+        heal_projection(_J1_SCHEMA, lambda t: pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"], "grams_a": t["grams"]})),
         batch_format="pyarrow",
     )
     j2 = hash_join(j1, feats, "inner", 8, on=("id_b",), right_on=("doc_id",))
@@ -265,11 +293,18 @@ def ngram_jaccard_pairs(
         ia, ib, js = [], [], []
         for a, b, ga, gb in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(),
                                 t["grams_a"].to_pylist(), t["grams"].to_pylist()):
-            sa = np.frombuffer(ga, dtype=np.uint64)
+            sa = np.frombuffer(ga, dtype=np.uint64)   # sorted unique (gram_sets)
             sb = np.frombuffer(gb, dtype=np.uint64)
             if sa.size == 0 and sb.size == 0:
                 continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if sa.size == 0 or sb.size == 0:
+                inter = 0
+            else:
+                # sorted-array intersection: one vectorized searchsorted per
+                # pair (no concat+re-sort as intersect1d would do)
+                idx = np.searchsorted(sa, sb)
+                idx[idx == sa.size] = sa.size - 1
+                inter = int(np.count_nonzero(sa[idx] == sb))
             jac = inter / (sa.size + sb.size - inter)
             if jac >= threshold:
                 ia.append(a); ib.append(b); js.append(jac)

@@ -97,13 +97,23 @@ def run_linkage(
 
         ckpt = CheckpointedRun(checkpoint_root, cfg)
 
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("BEL_STAGE_TIMING"))
+
     def persist(name: str, build):
         """build() -> (dataset, counters). Checkpointed to parquet when a root
         was given (lineage = files on disk, object store stays skinny),
         object-store materialize otherwise."""
+        t0 = _time.time()
         if ckpt is not None:
-            return ckpt.stage(name, build)
-        return build()[0].materialize()
+            out = ckpt.stage(name, build)
+        else:
+            out = build()[0].materialize()
+        if _timing:
+            print(f"[stage {name}] {_time.time() - t0:.2f}s", flush=True)
+        return out
 
     # A files table read from few parquet files arrives as few blocks, and
     # block count caps stage parallelism (one task per block): split the input
@@ -119,10 +129,22 @@ def run_linkage(
     if feats.count() == 0:
         return _empty_result(feats)
 
-    members = persist("s1_members", lambda: (
-        contraction.exact_contract(feats, cfg)[0], {}))
-    reps = persist("s1_reps", lambda: (
-        contraction.exact_contract(feats, cfg)[1], {}))
+    # ONE contraction run feeds both outputs (members/reps are projections of
+    # the same pinned join -- recomputing it per output doubles the shuffle)
+    if ckpt is not None and ckpt.is_complete("s1_members") and ckpt.is_complete("s1_reps"):
+        members = ckpt.read_stage("s1_members")
+        reps = ckpt.read_stage("s1_reps")
+    else:
+        _t0 = _time.time()
+        members, reps = contraction.exact_contract(feats, cfg)
+        if ckpt is not None:
+            members = ckpt.write_stage("s1_members", members, {})
+            reps = ckpt.write_stage("s1_reps", reps, {})
+        # non-ckpt: members/reps are cheap projections of the join table that
+        # exact_contract already pinned -- re-materializing them would push
+        # two more copies through the object store for nothing
+        if _timing:
+            print(f"[stage s1 contract] {_time.time() - _t0:.2f}s", flush=True)
 
     block_rows = persist("s2_blocks", lambda: (
         blocking.salt_hot_keys(
@@ -132,12 +154,24 @@ def run_linkage(
 
     # fused stage 1.5/2: member-set block dedup -> enrich once -> in-block
     # scoring + local contraction (see stages/fused_scoring.py for why this
-    # replaces the two-join pair-feature attach at scale)
-    enriched = persist("s3_enriched", lambda: (
-        fused_scoring.enrich_block_rows(
-            fused_scoring.dedup_blocks_by_memberset(block_rows, cfg), reps, cfg), {}))
+    # replaces the two-join pair-feature attach at scale). In the non-ckpt
+    # path `enriched` stays LAZY: it has exactly one consumer (the coarse
+    # scoring shuffle), so the join output streams straight into the shuffle
+    # map side instead of round-tripping through the object store.
+    _t0 = _time.time()
+    if ckpt is not None:
+        enriched = persist("s3_enriched", lambda: (
+            fused_scoring.enrich_block_rows(
+                fused_scoring.dedup_blocks_by_memberset(block_rows, cfg), reps, cfg), {}))
+        empty_blocks = enriched.count() == 0
+    else:
+        enriched = fused_scoring.enrich_block_rows(
+            fused_scoring.dedup_blocks_by_memberset(block_rows, cfg), reps, cfg)
+        # memberset dedup / enrich cannot empty a nonempty block table, so the
+        # emptiness probe reads the already-pinned block_rows, not the join
+        empty_blocks = block_rows.count() == 0
 
-    if enriched.count() == 0:
+    if empty_blocks:
         scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
         stars = scored
     elif ckpt is not None and ckpt.is_complete("s4_scored") and ckpt.is_complete("s5_stars"):
@@ -145,13 +179,16 @@ def run_linkage(
         stars = ckpt.read_stage("s5_stars")
     else:
         scored, stars = fused_scoring.score_blocks(enriched, cfg)
-        scored = scored.materialize()
         if ckpt is not None:
             scored = ckpt.write_stage(
-                "s4_scored", scored, {"pairs_scored": scored.count()})
+                "s4_scored", scored.materialize(), {"pairs_scored": scored.count()})
             stars = ckpt.write_stage("s5_stars", stars, {})
-        else:
-            stars = stars.materialize()
+        # non-ckpt: BOTH outputs stay lazy over the tagged table score_blocks
+        # pins internally -- clustering pulls stars through its own skinny
+        # materialize, and the scored-pair dedup shuffle (not on the critical
+        # path to assignments) runs only for consumers reading scored_pairs
+    if _timing:
+        print(f"[stage s4/s5 score] {_time.time() - _t0:.2f}s", flush=True)
 
     rep_assign = persist("s6_clusters", lambda: (
         clustering.connected_components(stars, reps, cfg), {}))
@@ -191,10 +228,13 @@ def run_linkage(
         )
         return joined, {}
 
+    _t0 = _time.time()
     if ckpt is not None:
         assign_full = persist("s7_assignments", build_assignments)
     else:
         assign_full = build_assignments()[0]  # lazy: consumer decides
+    if _timing:
+        print(f"[stage s7 attach] {_time.time() - _t0:.2f}s", flush=True)
 
     return LinkageResult(
         features=feats,

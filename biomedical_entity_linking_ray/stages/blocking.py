@@ -57,7 +57,7 @@ def emit_block_keys(reps: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.D
         stems = batch["stem"].to_pylist()
         fids = batch["file_id"].to_pylist()
         sig_buf = b"".join(batch["sig"].to_pylist())
-        sigs = np.frombuffer(sig_buf, dtype=np.uint64).reshape(n, cfg.num_perm)
+        sigs = np.frombuffer(sig_buf, dtype=np.uint16).reshape(n, cfg.num_perm)
 
         keys: list[str] = []
         out_fids: list[str] = []
@@ -87,9 +87,11 @@ def keyed_counts(ds: "ray.data.Dataset", key: str, batch_size: int = 65536) -> "
     """Pre-aggregated distinct-key counts: combiner inside map_batches, then a
     small groupby-sum over partials (guide: 'Aggregation at scale')."""
 
+    import pyarrow.compute as pc
+
     def partial(batch: pa.Table) -> pa.Table:
-        vc = pd.Series(batch[key].to_pylist()).value_counts()
-        return pa.table({key: pa.array(vc.index.astype(str)), "cnt": pa.array(vc.values, pa.int64())})
+        vc = pc.value_counts(batch[key].combine_chunks())  # vectorized Arrow kernel
+        return pa.table({key: vc.field("values"), "cnt": vc.field("counts")})
 
     partials = ds.select_columns([key]).map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
     return bucketed_aggregate(partials, [key], {"cnt": ("cnt", "sum")})
@@ -114,26 +116,30 @@ def salt_hot_keys(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.da
 
     def apply_salt(batch: pa.Table) -> pa.Table:
         hot_map = ray.get(hot_ref)  # zero-copy shared read per task, not per batch
-        keys = batch["block_key"].to_pylist()
-        fids = batch["file_id"].to_pylist()
-        out_keys: list[str] = []
-        out_fids: list[str] = []
-        for k, f in zip(keys, fids):
-            nsalt = hot_map.get(k)
-            if nsalt is None:
-                out_keys.append(k)
-                out_fids.append(f)
-                continue
-            h = hashing.fnv1a_str(f)
-            s = h % nsalt
-            out_keys.append(f"{k}#{s}")
-            out_fids.append(f)
-            if (h >> 32) % bridge_rate == 0:  # ring-overlap bridge row
-                out_keys.append(f"{k}#{(s + 1) % nsalt}")
-                out_fids.append(f)
+        keys = pd.Series(batch["block_key"].to_pylist())
+        fids = pd.Series(batch["file_id"].to_pylist())
+        nsalt = keys.map(hot_map).to_numpy(dtype=np.float64, na_value=np.nan)
+        hot = ~np.isnan(nsalt)
+        if not hot.any():
+            return batch
+        # vectorized salting of the hot rows only (cold rows pass through)
+        hk = keys[hot].to_numpy()
+        hf = fids[hot].to_numpy()
+        ns = nsalt[hot].astype(np.uint64)
+        h = hashing.fnv1a_fixed(hf, width=64)
+        s = h % ns
+        salted = np.char.add(np.char.add(hk.astype("U"), "#"), s.astype("U"))
+        out_keys = [keys[~hot].to_numpy(), salted]
+        out_fids = [fids[~hot].to_numpy(), hf]
+        bridge = (h >> np.uint64(32)) % np.uint64(bridge_rate) == 0  # ring overlap
+        if bridge.any():
+            s2 = (s[bridge] + np.uint64(1)) % ns[bridge]
+            out_keys.append(np.char.add(np.char.add(hk[bridge].astype("U"), "#"),
+                                        s2.astype("U")))
+            out_fids.append(hf[bridge])
         return pa.table({
-            "block_key": pa.array(out_keys, pa.string()),
-            "file_id": pa.array(out_fids, pa.string()),
+            "block_key": pa.array(np.concatenate(out_keys).astype("U"), pa.string()),
+            "file_id": pa.array(np.concatenate(out_fids).astype("U"), pa.string()),
         })
 
     return block_rows.map_batches(apply_salt, batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -80,38 +80,44 @@ def _driver_union_find(
     cfg: LinkageConfig,
 ) -> "ray.data.Dataset":
     """In-memory union-find over a small residual edge list; singletons via
-    the same anti-join as the distributed path."""
-    parent: dict[str, str] = {}
+    the same anti-join as the distributed path.
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+    Ids are factorized to dense ints (vectorized) so the sequential union
+    loop runs over numpy int arrays with path halving -- no per-edge dict
+    lookups on 64-char strings."""
+    import pandas as pd
 
-    for batch in skinny_edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if ra <= rb:  # min-id root keeps canonical semantics
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-    rows_n, rows_l = [], []
-    for x in list(parent.keys()):
-        rows_n.append(x)
-        rows_l.append(find(x))
-    # roots map to themselves; include them explicitly for the anti join
-    node_set = set(rows_n)
-    for r in set(rows_l):
-        if r not in node_set:
-            rows_n.append(r)
-            rows_l.append(r)
+    edf = skinny_edges.to_pandas()
+    codes, uniques = pd.factorize(
+        pd.concat([edf["id_a"], edf["id_b"]], ignore_index=True), sort=False)
+    n = len(uniques)
+    ea = codes[: len(edf)]
+    eb = codes[len(edf):]
+    # min-id root keeps canonical semantics: order ids so the lexicographically
+    # smaller member of each union becomes the root
+    uniq = uniques.to_numpy()
+    order = np.argsort(uniq)              # rank[i] = lexicographic rank of id i
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(ea, eb):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rank[ra] <= rank[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
     labels = ray.data.from_arrow(pa.table({
-        "node": pa.array(rows_n, pa.string()),
-        "label": pa.array(rows_l, pa.string()),
+        "node": pa.array(uniq, pa.string()),
+        "label": pa.array(uniq[roots], pa.string()),
     })).materialize()
 
     clustered = labels.map_batches(
@@ -121,16 +127,23 @@ def _driver_union_find(
         }),
         batch_format="pyarrow",
     )
-    singles = hash_join(
-        nodes.select_columns(["file_id"]), labels, "left_anti",
-        effective_partitions(cfg), on=("file_id",), right_on=("node",),
-    ).map_batches(
-        heal_projection(_ASSIGN3, lambda t: pa.table({
+    # singletons: within the driver-bounded fast path the labeled-node set is
+    # small by construction -- broadcast it once and anti-filter per batch
+    # (no join barrier); the distributed path below keeps the anti join
+    import pyarrow.compute as pc
+
+    labeled_ref = ray.put(pa.array(uniq, pa.string()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["file_id"], value_set=ray.get(labeled_ref)))
+        t = t.filter(mask)
+        return pa.table({
             "file_id": t["file_id"], "cluster_id": t["file_id"],
             "canonical_id": t["file_id"],
-        })),
-        batch_format="pyarrow",
-    )
+        })
+
+    singles = nodes.select_columns(["file_id"]).map_batches(
+        anti, batch_format="pyarrow")
     return clustered.union(singles)
 
 

@@ -17,10 +17,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
 from biomedical_entity_linking_ray.config import LinkageConfig
-from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
 
 
 def exact_contract(
@@ -31,20 +29,21 @@ def exact_contract(
     members: (file_id, rep_id, content_sha, repo, path, commit, lang) -- every input row
     reps:    feature rows where file_id == rep_id (one per unique content)
     """
+    from biomedical_entity_linking_ray.config import effective_partitions
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
+    from biomedical_entity_linking_ray.stages.normalize import FEATURE_SCHEMA
 
+    P = effective_partitions(cfg)
     sha_rep = bucketed_aggregate(
         feats.select_columns(["content_sha", "file_id"]),
         ["content_sha"], {"rep_id": ("file_id", "min")},
+        n_buckets=P * 4,
     )
-    from biomedical_entity_linking_ray.config import effective_partitions
-
+    mem_schema = FEATURE_SCHEMA.append(pa.field("rep_id", pa.string()))
     joined = hash_join(
-        feats, sha_rep, "inner", effective_partitions(cfg), on=("content_sha",)
-    )
-    feat_schema = feats.schema().base_schema
-    mem_schema = feat_schema.append(pa.field("rep_id", pa.string()))
-    joined = joined.map_batches(
+        feats, sha_rep, "inner", P, on=("content_sha",)
+    ).map_batches(
         heal_projection(mem_schema, lambda t: t.select(mem_schema.names)),
         batch_format="pyarrow",
     ).materialize()  # members AND reps derive from this: pin once, not twice

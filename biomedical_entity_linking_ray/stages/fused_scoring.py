@@ -53,9 +53,7 @@ def dedup_blocks_by_memberset(
     P = effective_partitions(cfg)
 
     def add_idhash(t: pa.Table) -> pa.Table:
-        ids = t["file_id"].to_pylist()
-        h = np.fromiter((hashing.fnv1a_str(i) for i in ids), dtype=np.uint64,
-                        count=len(ids))
+        h = hashing.fnv1a_fixed(t["file_id"].to_numpy(zero_copy_only=False), width=64)
         h = hashing.splitmix64(h).astype(np.int64)  # int64 for pandas sum
         return t.append_column("idh", pa.array(h))
 
@@ -64,9 +62,14 @@ def dedup_blocks_by_memberset(
         keyed, ["block_key"], {"mh": ("idh", "sum"), "cnt": ("idh", "count")},
         n_buckets=P * 4,
     )
-    # one representative block key per (set-hash, size)
+    # one representative block key per (set-hash, size); the cnt >= 2 filter
+    # drops every SINGLETON block here for free (the count is already on the
+    # row) -- singletons produce no pairs and no stars, and they are the bulk
+    # of LSH band keys, so the enrich join and the scoring shuffle downstream
+    # never see them
     rep_keys = bucketed_aggregate(
-        sethash, ["mh", "cnt"], {"block_key": ("block_key", "min")},
+        sethash.filter(expr="cnt >= 2"), ["mh", "cnt"],
+        {"block_key": ("block_key", "min")},
         n_buckets=P * 4,
     ).select_columns(["block_key"])
     return hash_join(block_rows, rep_keys, "left_semi", P, on=("block_key",))
@@ -115,12 +118,14 @@ def score_blocks(
     num_perm, tf_dim = cfg.num_perm, cfg.tf_dim
     W, all_max, tau = cfg.pair_window, cfg.all_pairs_max, cfg.tau
     w_jw, w_jac, w_cos = cfg.w_jw, cfg.w_jac, cfg.w_cos
-    n_coarse = effective_partitions(cfg) * 4
+    # fine-grained coarse buckets: per-group scoring cost is quadratic-ish in
+    # block size, so coarse groups must be numerous enough that one heavy
+    # group cannot straggle a whole core's worth of work
+    n_coarse = effective_partitions(cfg) * 16
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        keys = t["block_key"].to_pylist()
-        b = np.fromiter((hashing.fnv1a_str(k) % n_coarse for k in keys),
-                        dtype=np.int64, count=len(keys))
+        h = hashing.fnv1a_fixed(t["block_key"].to_numpy(zero_copy_only=False), width=96)
+        b = (h % np.uint64(n_coarse)).astype(np.int64)
         return t.append_column("__coarse", pa.array(b))
 
     coarse = enriched.map_batches(add_coarse, batch_format="pyarrow")
@@ -134,10 +139,10 @@ def score_blocks(
         keys = g["block_key"].to_numpy()
         ids = g["file_id"].to_numpy()
         paths = g["path_norm"].to_numpy()
-        sigs = np.frombuffer(b"".join(g["sig"].tolist()), dtype=np.uint64
+        sigs = np.frombuffer(b"".join(g["sig"].tolist()), dtype=np.uint16
                              ).reshape(n, num_perm)
-        vecs = np.frombuffer(b"".join(g["tfvec"].tolist()), dtype=np.float32
-                             ).reshape(n, tf_dim)
+        vecs = np.frombuffer(b"".join(g["tfvec"].tolist()), dtype=np.float16
+                             ).reshape(n, tf_dim).astype(np.float32)
 
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         lens = np.diff(np.r_[starts, n])
@@ -204,6 +209,17 @@ def score_blocks(
     tagged = coarse.groupby("__coarse").map_groups(
         score_bucket, batch_format="pandas"
     ).materialize()
+    if tagged.count() == 0:
+        # every surviving block was singleton-free of pairs: typed empties
+        # (a schema-less empty dataset would poison the filters below)
+        from biomedical_entity_linking_ray.stages.scoring import EMPTY_SCORED
+
+        empty_scored = ray.data.from_arrow(EMPTY_SCORED)
+        empty_stars = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
+            "block_key": pa.array([], pa.string()),
+        }))
+        return empty_scored, empty_stars
 
     P4 = n_coarse
     scored = bucketed_aggregate(

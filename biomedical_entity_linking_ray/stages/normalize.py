@@ -4,8 +4,14 @@ One pass over the raw files table computing, per row:
 - ``file_id``     sha256(repo|path|commit)      (stable identity)
 - ``content_sha`` sha256(raw content)           (the per-row invariant column)
 - ``path_norm`` / ``stem``                      (for Jaro-Winkler + path keys)
-- ``sig``         MinHash signature, binary (num_perm x uint64 LE bytes)
-- ``tfvec``       hashed-TF unit vector, binary (tf_dim x float32 LE bytes)
+- ``sig``         MinHash signature, binary (num_perm x uint16 LE bytes --
+                  the low 16 bits of each 64-bit min; band keys and the
+                  equality-based Jaccard estimate are unaffected beyond a
+                  ~2^-16 per-perm collision bias, and every downstream
+                  shuffle ships 4x fewer sketch bytes)
+- ``tfvec``       hashed-TF unit vector, binary (tf_dim x float16 LE bytes;
+                  decoded to float32 at the consumer -- cosine at score
+                  precision, half the wire size)
 
 Sketches travel as opaque binary: Arrow binary columns pass through hash
 joins / shuffles untouched (acero rejects fixed_size_list payloads) and
@@ -63,14 +69,14 @@ class FeatureExtractor:
         path_norms = [strings.normalize_path(p) for p in paths]
         stems = [strings.path_stem(p) for p in paths]
 
-        sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
-        vecs = np.empty((n, cfg.tf_dim), dtype=np.float32)
+        sigs = np.empty((n, cfg.num_perm), dtype=np.uint16)
+        vecs = np.empty((n, cfg.tf_dim), dtype=np.float16)
         n_tokens = np.empty(n, dtype=np.int64)
         for i, content in enumerate(contents):
             norm = strings.normalize_content(content)
             sh = hashing.char_shingle_hashes(norm, cfg.shingle_k, cfg.max_shingles)
-            sigs[i] = self.hasher.signature(sh)
-            vecs[i] = hashing.hashed_tf_vector(sh, cfg.tf_dim)
+            sigs[i] = self.hasher.signature(sh).astype(np.uint16)  # low 16 bits
+            vecs[i] = hashing.hashed_tf_vector(sh, cfg.tf_dim).astype(np.float16)
             n_tokens[i] = norm.count(" ") + 1 if norm else 0
 
         out = pa.table({

@@ -49,10 +49,10 @@ class PairScorer:
         n = batch.num_rows
         if n == 0:
             return EMPTY_SCORED
-        sig_a = _binary_to_np(batch["sig_a"], cfg.num_perm, np.uint64)
-        sig_b = _binary_to_np(batch["sig_b"], cfg.num_perm, np.uint64)
-        vec_a = _binary_to_np(batch["vec_a"], cfg.tf_dim, np.float32)
-        vec_b = _binary_to_np(batch["vec_b"], cfg.tf_dim, np.float32)
+        sig_a = _binary_to_np(batch["sig_a"], cfg.num_perm, np.uint16)
+        sig_b = _binary_to_np(batch["sig_b"], cfg.num_perm, np.uint16)
+        vec_a = _binary_to_np(batch["vec_a"], cfg.tf_dim, np.float16).astype(np.float32)
+        vec_b = _binary_to_np(batch["vec_b"], cfg.tf_dim, np.float16).astype(np.float32)
 
         jac = (sig_a == sig_b).mean(axis=1)
         cos = np.einsum("ij,ij->i", vec_a, vec_b).astype(np.float64)
