@@ -70,20 +70,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_sequence": relational.lineitem_sequence,
         "events_hourly": relational.events_hourly,
         "high_value_lineitems": relational.high_value_lineitems,
+        "part_returnflag_sets": relational.part_returnflag_sets,
+        "orders_sample": relational.orders_sample,
+        "order_flag_sequences": relational.order_flag_sequences,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "quality_scores": text_analysis.quality_scores,
         "language_id": text_analysis.language_id,
         "doc_fingerprints": text_analysis.fingerprints,
+        "dictionary_extract": text_analysis.dictionary_extract,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "embedding_near_dup": dedup.embedding_near_dup_pairs,
+        "embedding_near_dup": dedup.embedding_near_dup_exact,
+        "embedding_near_dup_lsh": dedup.embedding_near_dup_pairs,
         # --- similarity search over embeddings ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        "knn_label_recall": similarity.label_recall_at_k,
         # --- multimodal plumbing (binary payload -> actor-pool decode) ---
         "image_features": multimodal.image_feature_pipeline,
         # --- flagship linkage (no SQL oracle: synthetic files table) ---
@@ -124,7 +130,102 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
     """
-    # language_id / quality_scores / fingerprints / near-dup sketch families /
-    # linkage_* are non-SQL-expressible (model-ish scoring, sketching,
-    # iterative clustering, synthetic side table) -> rows-only checks.
+    out["quality_scores"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS n_tokens,
+                   len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                       x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+                       AS n_stopwords,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r]')) AS n_punct,
+                   len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')))
+                       AS n_unique_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_stopwords, n_punct, n_unique_tokens, n_chars,
+               CAST(FLOOR((
+                   least(n_tokens / 32.0, 1.0) * 0.3
+                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2
+                   + (n_unique_tokens / greatest(n_tokens, 1)) * 0.3
+                   + least(n_stopwords / greatest(n_tokens, 1) * 4, 1.0) * 0.2
+               ) * 10000 + 0.5) AS BIGINT) AS quality_q4
+        FROM c
+    """
+    out["language_id"] = """
+        WITH t AS (
+            SELECT doc_id, lang AS lang_true,
+                   len(regexp_extract_all(substr(text, 1, 400),
+                       '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+                   length(substr(text, 1, 400)) AS head_len,
+                   list_distinct(regexp_extract_all(lower(text),
+                       '[A-Za-z0-9_]+')[1:200]) AS toks
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, lang_true, cjk, head_len,
+                   len(list_filter(toks, x -> x IN
+                       ('the','and','of','to','a','in','is','it','for','on'))) AS h_en,
+                   len(list_filter(toks, x -> x IN
+                       ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS h_de,
+                   len(list_filter(toks, x -> x IN
+                       ('le','la','les','et','est','un','une','pour','dans','que'))) AS h_fr,
+                   len(list_filter(toks, x -> x IN
+                       ('el','la','los','las','y','es','un','una','para','que'))) AS h_es
+            FROM t
+        )
+        SELECT doc_id, lang_true,
+               CASE WHEN cjk > head_len * 0.05 THEN 'zh'
+                    WHEN greatest(h_en, h_de, h_fr, h_es) < 1 THEN 'unknown'
+                    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                    WHEN h_fr >= h_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM h
+    """
+    out["dictionary_extract"] = """
+        WITH terms(term) AS (VALUES ('table'),('value'),('batch'),('merge'),
+                                    ('scan'),('hash'),('row'),('fast'))
+        SELECT d.doc_id, t.term,
+               CAST((length(lower(d.text))
+                     - length(replace(lower(d.text), t.term, '')))
+                    / length(t.term) AS BIGINT) AS n_occurrences
+        FROM documents d CROSS JOIN terms t
+        WHERE contains(lower(d.text), t.term)
+    """
+    out["embedding_near_dup"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+    """
+    out["knn_label_recall"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+            FROM embeddings ORDER BY vec_id ASC LIMIT 16
+        ),
+        s AS (
+            SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+                   ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ),
+        r AS (
+            SELECT query_id, qlabel, vec_id, label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM s
+        ),
+        ks AS (SELECT unnest([1, 3, 5]) AS k)
+        SELECT k, ROUND(AVG(hit), 4) AS recall FROM (
+            SELECT ks.k, r.query_id,
+                   MAX(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END) AS hit
+            FROM ks JOIN r ON r.rank <= ks.k
+            GROUP BY ks.k, r.query_id
+        ) GROUP BY k
+    """
+    # doc_fingerprints / minhash / simhash / ngram_jaccard / embedding LSH /
+    # knn_lsh / image_features / linkage_* are non-SQL-expressible (sketching,
+    # hyperplane LSH, stubbed codec, iterative clustering on a synthetic side
+    # table) -> rows-only checks.
     return out

@@ -115,8 +115,13 @@ def run_linkage_only() -> dict:
     from biomedical_entity_linking_ray.synth import materialize_corpus
 
     factor = float(os.environ.get("GRAFT_SCALE_FACTOR", "30"))
+    # content_scale ~6 plants ~6-10 KB source files: representative of a real
+    # source-code corpus (the unit-test corpus uses ~1.5 KB rows for speed,
+    # which over-weights shuffle overhead relative to the content scan)
+    content_scale = float(os.environ.get("GRAFT_CONTENT_SCALE", "6"))
     shards = 24 if factor > 20 else 1  # parallel generation for big corpora
-    d = materialize_corpus(SynthConfig().scaled(factor), shards=shards)
+    d = materialize_corpus(
+        SynthConfig().scaled(factor, content_scale=content_scale), shards=shards)
     files = rd.read_parquet(os.path.join(d, "files.parquet"))
     n_input = files.count()  # warms the page cache too
 

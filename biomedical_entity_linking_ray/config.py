@@ -109,9 +109,15 @@ class SynthConfig:
     n_hard_negatives: int = 150      # same lang + similar path, different content
     n_cross_lang_decoys: int = 60    # same path tokens, different lang
     near_dup_edit_rate: float = 0.05 # token-level edit fraction for near dups
+    # Content-length multiplier. 1.0 plants ~1-2 KB files (fast unit tests);
+    # real source files average several KB, so bench/scaling corpora use a
+    # larger value to keep the compute/shuffle balance representative of the
+    # 10^12-file source-code workload (sketch sizes are fixed, so only the
+    # content scan grows -- exactly as at production scale).
+    content_scale: float = 1.0
     langs: tuple = ("python", "java", "js", "c", "go", "text")
 
-    def scaled(self, factor: float) -> "SynthConfig":
+    def scaled(self, factor: float, content_scale: float | None = None) -> "SynthConfig":
         """Scale row volume by `factor`, keeping structure."""
         return SynthConfig(
             seed=self.seed,
@@ -122,5 +128,7 @@ class SynthConfig:
             n_hard_negatives=max(1, int(self.n_hard_negatives * factor)),
             n_cross_lang_decoys=max(1, int(self.n_cross_lang_decoys * factor)),
             near_dup_edit_rate=self.near_dup_edit_rate,
+            content_scale=(self.content_scale if content_scale is None
+                           else content_scale),
             langs=self.langs,
         )

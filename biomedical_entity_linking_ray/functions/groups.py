@@ -22,7 +22,11 @@ import ray.data
 
 from biomedical_entity_linking_ray.functions import hashing
 
-_AGGS = {"min", "max", "sum", "count", "first", "nunique", "mean"}
+# 'set' collects the sorted distinct values per key into a list column --
+# the reference's most common KB aggregation shape (UMLS alias sets,
+# ontology.py:357-369, A2/S8 in SURVEY.md). Valid under bucketing because a
+# key lives in exactly one bucket (no cross-bucket set merge needed).
+_AGGS = {"min", "max", "sum", "count", "first", "nunique", "mean", "set"}
 
 
 def _bucket_of(df_keys: pd.DataFrame, n_buckets: int) -> np.ndarray:
@@ -66,6 +70,8 @@ def bucketed_aggregate(
         for out, (col, fn) in aggs.items():
             if fn == "count":
                 named[out] = (keys[0] if col is None else col, "size")
+            elif fn == "set":
+                named[out] = (col, lambda s: sorted(set(s)))
             else:
                 named[out] = (col, fn)
         out_df = g.groupby(keys, as_index=False).agg(**named)

@@ -318,6 +318,66 @@ def ngram_jaccard_pairs(
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def embedding_near_dup_exact(
+    sf_dir: str, threshold: float = 0.4,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, cosine): EXACT all-pairs cosine >= threshold.
+
+    Ray Data has no cross join, so this is the one operator family expressed
+    with raw Ray tasks (SURVEY.md guidance: raw tasks only where the Dataset
+    API can't): one task per parquet row group loads + unit-normalizes its
+    chunk into the object store, then one task per (i <= j) chunk pair does a
+    single matmul and emits only the passing pairs. Data never flows through
+    the driver; the driver holds row-group metadata and the (small) passing
+    pair set. O(B^2) tasks in the chunk count -- the brute-force baseline;
+    `embedding_near_dup_pairs` (hyperplane LSH) is the at-scale path.
+
+    Cosines are rounded to 4 decimals BEFORE thresholding so the result is
+    reproducible against a SQL oracle.
+    """
+    import ray as _ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+
+    @_ray.remote
+    def load(i: int):
+        t = pq.ParquetFile(path).read_row_group(i, columns=["vec_id", "embedding"])
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return t["vec_id"].to_numpy(), V / nrm
+
+    @_ray.remote
+    def score(ca, cb, same: bool):
+        (ia, A), (ib, B) = ca, cb
+        S = np.round(A @ B.T, 4)
+        if same:
+            iu = np.triu_indices(len(ia), k=1)
+            sel = S[iu] >= threshold
+            aa, bb, cc = ia[iu[0][sel]], ib[iu[1][sel]], S[iu][sel]
+        else:
+            r, c = np.nonzero(S >= threshold)
+            aa, bb, cc = ia[r], ib[c], S[r, c]
+        lo = np.minimum(aa, bb)
+        hi = np.maximum(aa, bb)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "cosine": pa.array(cc, pa.float64())})
+
+    chunks = [load.remote(i) for i in range(n_rg)]
+    parts = [score.remote(chunks[i], chunks[j], i == j)
+             for i in range(n_rg) for j in range(i, n_rg)]
+    tables = [t for t in _ray.get(parts) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    return ray.data.from_arrow(pa.concat_tables(tables))
+
+
 def embedding_near_dup_pairs(
     sf_dir: str, threshold: float = 0.3, lsh_planes: int = 12, rotations: int = 3,
     seed: int = 42,

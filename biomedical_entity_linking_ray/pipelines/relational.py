@@ -230,6 +230,76 @@ def lineitem_sequence(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# A2/S8 analog: set-union aggregate per key (UMLS alias-set shape)
+# ---------------------------------------------------------------------------
+
+def part_returnflag_sets(sf_dir: str) -> "ray.data.Dataset":
+    """(l_partkey, flag_set): sorted distinct return flags per part, joined to
+    one string -- the reference's groupby(cui).agg(alias=set) KB shape
+    (ontology.py:357-369) via the bucketed 'set' aggregate; string-joined so
+    the value hashes identically across engines."""
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    sets = bucketed_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"]),
+        ["l_partkey"], {"flags": ("l_returnflag", "set")},
+    )
+
+    def join_str(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "flag_set": pa.array(["|".join(x) for x in t["flags"].to_pylist()],
+                                 pa.string()),
+        })
+
+    return sets.map_batches(join_str, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O7 analog: deterministic seeded sampling (keyed hash, oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+def orders_sample(sf_dir: str, rate: float = 0.1, seed: int = 42) -> "ray.data.Dataset":
+    """~10% deterministic sample of orders by keyed md5 hash (reference O7:
+    seeded entity drop, BiEncoderLightningDataModule.py:209-227 -- done
+    parallel-safe: the decision depends only on (key, seed))."""
+    from biomedical_entity_linking_ray.functions.sampling import keyed_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return _round_cols(keyed_sample(ds, "o_orderkey", rate, seed), ["o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# D2 analog: rank-preserving dedup (first-occurrence order survives)
+# ---------------------------------------------------------------------------
+
+def order_flag_sequences(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """(l_orderkey, flag_seq): return flags in first-occurrence order along
+    the (shipdate, linenumber) line sequence, duplicates dropped
+    rank-preservingly (reference D2: deduplicate_candidates keeps first
+    occurrence rank, evaluate.py:81-119; krissbert dedup_ids :48-56)."""
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy().astype(np.uint64)
+        b = (hashing.splitmix64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def seq_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_shipdate", "l_linenumber"],
+                          kind="mergesort")
+        first = g.drop_duplicates(["l_orderkey", "l_returnflag"], keep="first")
+        out = first.groupby("l_orderkey", sort=False)["l_returnflag"] \
+            .agg("|".join).reset_index()
+        return out.rename(columns={"l_returnflag": "flag_seq"})
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag"]) \
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=65536) \
+        .groupby("__bucket").map_groups(seq_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # streaming-shaped: tumbling window aggregate over the events log
 # ---------------------------------------------------------------------------
 
@@ -342,6 +412,33 @@ SQL: dict[str, str] = {
                ROUND(SUM(value), 4) AS sum_value
         FROM events
         GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "part_returnflag_sets": """
+        SELECT l_partkey,
+               array_to_string(list_sort(list(DISTINCT l_returnflag)), '|') AS flag_set
+        FROM lineitem
+        GROUP BY l_partkey
+    """,
+    "orders_sample": """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 8)
+              < '19999999'
+    """,
+    "order_flag_sequences": """
+        WITH r AS (
+            SELECT l_orderkey, l_returnflag,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_shipdate, l_linenumber) AS rn
+            FROM lineitem
+        ),
+        f AS (
+            SELECT l_orderkey, l_returnflag, MIN(rn) AS first_rn
+            FROM r GROUP BY l_orderkey, l_returnflag
+        )
+        SELECT l_orderkey,
+               string_agg(l_returnflag, '|' ORDER BY first_rn) AS flag_seq
+        FROM f GROUP BY l_orderkey
     """,
     "high_value_lineitems": """
         SELECT l_orderkey, l_linenumber,

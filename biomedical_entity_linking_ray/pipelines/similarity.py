@@ -52,12 +52,14 @@ def load_query_matrix(sf_dir: str, n_queries: int, seed: int = 7) -> tuple[np.nd
 
 
 def knn_bruteforce(
-    sf_dir: str, k: int = 5, n_queries: int = 16,
+    sf_dir: str, k: int = 5, n_queries: int = 16, exclude_self: bool = False,
 ) -> "ray.data.Dataset":
     """(query_id, rank, vec_id, cosine): exact top-k by cosine per query.
 
     Query matrix broadcast via `ray.put` (read once per task, never per batch);
     per-batch matmul + local top-k; global merge via groupby(query_id).
+    `exclude_self` drops the query's own vector before ranking (for neighbor
+    retrieval metrics).
     """
     qids, Q = load_query_matrix(sf_dir, n_queries)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -75,13 +77,16 @@ def knn_bruteforce(
         # round to 4 decimals BEFORE ranking so rank ties break identically
         # in Ray and in the DuckDB oracle (both then tie-break by vec_id)
         sims = np.round(Qu_ @ Vu.T, 4)  # (q, n)
+        if exclude_self:
+            sims[qids_[:, None] == ids[None, :]] = -2.0
         kk = min(k, ids.size)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids_)):
             # local cut must respect the global (cosine DESC, vec_id ASC)
             # order: a plain argpartition drops boundary ties arbitrarily
             order = np.lexsort((ids, -sims[qi]))[:kk]
-            out_q.extend([int(qids_[qi])] * kk)
+            order = order[sims[qi, order] > -2.0]  # drop excluded-self slots
+            out_q.extend([int(qids_[qi])] * order.size)
             out_v.extend(ids[order].tolist())
             out_s.extend(sims[qi, order].tolist())
         return pa.table({
@@ -101,6 +106,39 @@ def knn_bruteforce(
         return g[["query_id", "rank", "vec_id", "cosine"]]
 
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def label_recall_at_k(
+    sf_dir: str, ks: tuple = (1, 3, 5), n_queries: int = 16,
+) -> "pa.Table":
+    """(k, recall): fraction of queries whose top-k neighbors (self excluded)
+    share the query's label -- the ranked-retrieval metric family (reference
+    analog: recall@k over gold CUIs, bioel/bioel/evaluate.py:234-260 and
+    min_hit_index :203-231).
+
+    The k-NN itself is the distributed operator; this aggregates its small
+    (n_queries x k) result with labels fetched via a pruned parquet read of
+    exactly the ids involved."""
+    import pyarrow.parquet as pq
+
+    kmax = max(ks)
+    nn = knn_bruteforce(sf_dir, k=kmax, n_queries=n_queries,
+                        exclude_self=True).to_pandas()
+    need = sorted(set(nn["query_id"]) | set(nn["vec_id"]))
+    lab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"], filters=[("vec_id", "in", need)],
+    ).to_pandas()
+    label_of = dict(zip(lab["vec_id"], lab["label"]))
+    nn["hit"] = [int(label_of[v] == label_of[q])
+                 for q, v in zip(nn["query_id"], nn["vec_id"])]
+    out_k, out_r = [], []
+    for k in sorted(ks):
+        per_q = nn[nn["rank"] <= k].groupby("query_id")["hit"].max()
+        out_k.append(k)
+        out_r.append(round(float(per_q.mean()), 4))
+    return pa.table({"k": pa.array(out_k, pa.int64()),
+                     "recall": pa.array(out_r, pa.float64())})
 
 
 def knn_lsh(

@@ -60,39 +60,54 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
 
 
 class QualityScorer:
-    """Actor-pool callable: compiled regexes + stopword set as per-actor state."""
+    """Actor-pool callable: compiled regexes + stopword set as per-actor state.
+
+    Outputs are exact integers (token / stopword / punctuation / distinct-token
+    / char counts) plus `quality_q4`, the blended score quantized to 1e-4 as an
+    integer via floor(q*10000 + 0.5). Both choices exist so a SQL oracle can
+    reproduce the result bit-for-bit: ratios rounded as floats trip over
+    round-half-to-even vs round-half-away at exact binary halves, whereas the
+    identical IEEE expression + floor is engine-independent. Punctuation is
+    the explicit ASCII class [^A-Za-z0-9_ \\t\\n\\r] (``\\w``/``\\s`` are
+    unicode-dependent and differ between regex engines).
+    """
 
     def __init__(self):
         self.word = _WORD
-        self.punct = re.compile(r"[^\w\s]")
+        self.punct = re.compile(r"[^A-Za-z0-9_ \t\n\r]")
         self.stop = _LID_PROFILES["en"]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         n = len(texts)
         n_tok = np.empty(n, np.int64)
-        stop_ratio = np.empty(n, np.float64)
-        punct_ratio = np.empty(n, np.float64)
-        uniq_ratio = np.empty(n, np.float64)
+        n_stop = np.empty(n, np.int64)
+        n_punct = np.empty(n, np.int64)
+        n_uniq = np.empty(n, np.int64)
+        n_chars = np.empty(n, np.int64)
         for i, s in enumerate(texts):
             toks = self.word.findall(s.lower())
             n_tok[i] = len(toks)
-            stop_ratio[i] = (sum(1 for w in toks if w in self.stop) / len(toks)) if toks else 0.0
-            punct_ratio[i] = len(self.punct.findall(s)) / max(1, len(s))
-            uniq_ratio[i] = (len(set(toks)) / len(toks)) if toks else 0.0
+            n_stop[i] = sum(1 for w in toks if w in self.stop)
+            n_punct[i] = len(self.punct.findall(s))
+            n_uniq[i] = len(set(toks))
+            n_chars[i] = len(s)
+        denom_tok = np.maximum(n_tok, 1)
         quality = (
-            np.clip(n_tok / 32.0, 0, 1) * 0.3
-            + (1.0 - punct_ratio) * 0.2
-            + uniq_ratio * 0.3
-            + np.clip(stop_ratio * 4, 0, 1) * 0.2
+            np.minimum(n_tok / 32.0, 1.0) * 0.3
+            + (1.0 - n_punct / np.maximum(n_chars, 1)) * 0.2
+            + (n_uniq / denom_tok) * 0.3
+            + np.minimum(n_stop / denom_tok * 4, 1.0) * 0.2
         )
+        quality_q4 = np.floor(quality * 10000 + 0.5).astype(np.int64)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pa.array(n_tok),
-            "stopword_ratio": pa.array(stop_ratio),
-            "punct_ratio": pa.array(punct_ratio),
-            "unique_token_ratio": pa.array(uniq_ratio),
-            "quality": pa.array(quality),
+            "n_stopwords": pa.array(n_stop),
+            "n_punct": pa.array(n_punct),
+            "n_unique_tokens": pa.array(n_uniq),
+            "n_chars": pa.array(n_chars),
+            "quality_q4": pa.array(quality_q4),
         })
 
 
@@ -135,6 +150,22 @@ def language_id(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
     return read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         LanguageId, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
     )
+
+
+# fixed probe dictionary for the broadcast-extractor query: words planted in
+# the synthetic documents vocabulary (TESTDATA.md)
+EXTRACT_TERMS = ["table", "value", "batch", "merge", "scan", "hash", "row", "fast"]
+
+
+def dictionary_extract(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """(doc_id, term, n_occurrences): broadcast-dictionary scan of documents
+    (reference M14/T12: trie entity extractor with per-worker unpickled state,
+    extract_pubmed_entities.py:40-128). The term list is `ray.put` once and
+    each actor builds its matcher in __init__."""
+    from biomedical_entity_linking_ray.stages.extraction import dictionary_match_counts
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    return dictionary_match_counts(docs, EXTRACT_TERMS, concurrency=concurrency)
 
 
 def fingerprints(sf_dir: str, window: int = 32) -> "ray.data.Dataset":

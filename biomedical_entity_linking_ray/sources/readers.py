@@ -100,6 +100,84 @@ def read_record_blocks(paths: str | list[str]) -> "ray.data.Dataset":
     return ray.data.read_binary_files(paths).flat_map(parse_file)
 
 
+def read_xml_corpus(paths: str | list[str]) -> "ray.data.Dataset":
+    """``*.xml[.gz]`` corpus scan -> (doc_id, title, abstract) rows.
+
+    Reference analog: S3 PubMed XML.gz iteration
+    (extract_pubmed_entities/extract_pubmed_entities.py:130-181): one task per
+    file (file-level parallelism, exactly the reference's per-file loop made
+    distributed), gzip + XML decode inside the task, one row per article
+    element. Stdlib ElementTree only -- no lxml in this container.
+    """
+    import gzip
+    import xml.etree.ElementTree as ET
+
+    def parse_file(row: dict) -> list[dict]:
+        data = row["bytes"]
+        if data[:2] == b"\x1f\x8b":
+            data = gzip.decompress(data)
+        out = []
+        root = ET.fromstring(data)
+        # accept either <articles><article id=..><title/><abstract/>.. or
+        # any nesting where article-like elements carry the three fields
+        for art in root.iter("article"):
+            doc_id = art.get("id") or (art.findtext("id") or "")
+            out.append({
+                "doc_id": doc_id,
+                "title": art.findtext("title") or "",
+                "abstract": art.findtext("abstract") or "",
+            })
+        return out
+
+    return ray.data.read_binary_files(paths).flat_map(parse_file)
+
+
+def read_obo_ontology(paths: str | list[str]) -> "ray.data.Dataset":
+    """OBO ontology file -> one row per [Term]: (term_id, name, synonyms,
+    alt_ids, is_obsolete).
+
+    Reference analog: S5 BiomedicalOntology.load_obo (ontology.py:82-167):
+    obonet graph walk collecting name/synonyms/alt ids and skipping obsolete
+    terms -- here a stateless per-file parse (whole file read so stanza
+    boundaries never straddle tasks), synonyms/alt_ids as '|'-joined strings
+    so the row stays flat-schema'd.
+    """
+    _SYN = re.compile(r'^synonym:\s*"([^"]*)"')
+
+    def parse_file(row: dict) -> list[dict]:
+        text = row["bytes"].decode("utf-8", "replace")
+        out = []
+        for stanza in text.split("\n["):
+            lines = stanza.splitlines()
+            if not lines or lines[0].strip("[]") != "Term":
+                continue
+            term_id, name, obsolete = "", "", False
+            syns: list[str] = []
+            alts: list[str] = []
+            for line in lines[1:]:
+                if line.startswith("id:"):
+                    term_id = line[3:].strip()
+                elif line.startswith("name:"):
+                    name = line[5:].strip()
+                elif line.startswith("synonym:"):
+                    m = _SYN.match(line)
+                    if m:
+                        syns.append(m.group(1))
+                elif line.startswith("alt_id:"):
+                    alts.append(line[7:].strip())
+                elif line.startswith("is_obsolete:") and "true" in line:
+                    obsolete = True
+            if term_id:
+                out.append({
+                    "term_id": term_id, "name": name,
+                    "synonyms": "|".join(syns), "alt_ids": "|".join(alts),
+                    "is_obsolete": obsolete,
+                })
+        return out
+
+    return ray.data.read_binary_files(paths).flat_map(parse_file)
+
+
 def read_jsonl_records(paths: str | list[str]) -> "ray.data.Dataset":
     """JSONL mention/KB records (reference analogs: S9 load_json
     ontology.py:583-620, S11 read_dataset BiEncoderLightningDataModule.py:28-41)."""

@@ -118,6 +118,55 @@ def pairwise_f1(
     }
 
 
+def pairwise_f1_by_group(
+    gold_pairs: pd.DataFrame,
+    assignments: "ray.data.Dataset",
+    block_rows: "ray.data.Dataset",
+    members: "ray.data.Dataset",
+    group_col: str = "lang",
+) -> pd.DataFrame:
+    """Per-group pairwise metrics (reference A7: per-type error analysis,
+    bioel/bioel/evaluate.py:686-874 -- grouped sizes + per-group accuracy).
+
+    A gold pair belongs to group g if both sides carry g in `group_col` (from
+    the assignments lineage columns); mixed pairs report under 'mixed'.
+    Returns one row per group: n / tp / fp / fn / precision / recall / f1.
+    """
+    rep_of, keys_of = _gold_context(gold_pairs, members, block_rows)
+
+    ids = set(gold_pairs["id_a"]) | set(gold_pairs["id_b"])
+    ids_ref = ray.put(ids)
+    lab_df = _filter_to_ids(
+        assignments, ["file_id", "cluster_id", group_col], "file_id", ids_ref)
+    label_of = dict(zip(lab_df["file_id"], lab_df["cluster_id"]))
+    group_of = dict(zip(lab_df["file_id"], lab_df[group_col]))
+
+    counts: dict[str, dict] = {}
+    for a, b, lbl in zip(gold_pairs["id_a"], gold_pairs["id_b"], gold_pairs["label"]):
+        if not _co_blocked(a, b, rep_of, keys_of):
+            continue
+        ga, gb = group_of.get(a), group_of.get(b)
+        g = ga if ga == gb else "mixed"
+        c = counts.setdefault(g, {"n": 0, "tp": 0, "fp": 0, "fn": 0})
+        c["n"] += 1
+        pred = label_of.get(a) is not None and label_of.get(a) == label_of.get(b)
+        if pred and lbl == 1:
+            c["tp"] += 1
+        elif pred and lbl == 0:
+            c["fp"] += 1
+        elif not pred and lbl == 1:
+            c["fn"] += 1
+
+    rows = []
+    for g in sorted(counts, key=str):
+        c = counts[g]
+        p = c["tp"] / (c["tp"] + c["fp"]) if c["tp"] + c["fp"] else 1.0
+        r = c["tp"] / (c["tp"] + c["fn"]) if c["tp"] + c["fn"] else 1.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        rows.append({"group": g, **c, "precision": p, "recall": r, "f1": f})
+    return pd.DataFrame(rows)
+
+
 def blocking_recall(
     gold_pairs: pd.DataFrame,
     block_rows: "ray.data.Dataset",

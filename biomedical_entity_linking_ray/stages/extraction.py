@@ -1,0 +1,148 @@
+"""Broadcast-dictionary text extraction (reference M13/M14/T12).
+
+The reference builds a char-trie over an entity dictionary, unpickles it once
+per worker and scans document text at word starts, then resolves overlapping
+hits (extract_pubmed_entities.py:8-128). Here the same shape is Ray-native:
+
+- the dictionary is `ray.put` ONCE and each actor builds its matcher state
+  (compiled alternation regex = the scanning automaton) in ``__init__`` --
+  the canonical broadcast-big-state-into-actor-pool pattern (T12);
+- `DictionaryMatcher` emits per-(doc, term) non-overlapping occurrence
+  counts (SQL-oracle-able);
+- `extract_spans` emits (doc_id, term, start, end) hits and
+  `filter_overlapping_spans` keeps leftmost-longest spans per doc (M13).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+class DictionaryMatcher:
+    """Actor-pool callable: per-(doc, term) substring occurrence counts.
+
+    `terms_ref` is a `ray.put` ObjectRef of the term list -- fetched once per
+    actor in __init__, never per batch. Counts are non-overlapping
+    left-to-right (`str.count` semantics, reproducible in SQL via
+    length-delta / replace).
+    """
+
+    def __init__(self, terms_ref):
+        self.terms = sorted(set(ray.get(terms_ref)))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, terms, counts = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            low = text.lower()
+            for term in self.terms:
+                c = low.count(term)
+                if c:
+                    doc_ids.append(doc_id)
+                    terms.append(term)
+                    counts.append(c)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "n_occurrences": pa.array(counts, pa.int64()),
+        })
+
+
+def dictionary_match_counts(
+    docs: "ray.data.Dataset", terms: list[str], concurrency: int = 2,
+) -> "ray.data.Dataset":
+    """docs(doc_id, text) x broadcast term dictionary -> occurrence counts."""
+    terms_ref = ray.put(list(terms))
+    return docs.map_batches(
+        DictionaryMatcher,
+        fn_constructor_args=(terms_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+    )
+
+
+class SpanExtractor:
+    """Actor-pool callable emitting (doc_id, term, start, end) spans.
+
+    The compiled alternation regex (longest terms first, so regex alternation
+    prefers the longest match at each position -- the trie's longest-match
+    rule, extract_pubmed_entities.py:75-102) is built once per actor.
+    """
+
+    def __init__(self, terms_ref):
+        terms = sorted(set(ray.get(terms_ref)), key=lambda s: (-len(s), s))
+        self.pat = re.compile("|".join(re.escape(x) for x in terms))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, terms, starts, ends = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for m in self.pat.finditer(text.lower()):
+                doc_ids.append(doc_id)
+                terms.append(m.group(0))
+                starts.append(m.start())
+                ends.append(m.end())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "start": pa.array(starts, pa.int64()),
+            "end": pa.array(ends, pa.int64()),
+        })
+
+
+def extract_spans(
+    docs: "ray.data.Dataset", terms: list[str], concurrency: int = 2,
+) -> "ray.data.Dataset":
+    terms_ref = ray.put(list(terms))
+    return docs.map_batches(
+        SpanExtractor,
+        fn_constructor_args=(terms_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+    )
+
+
+def filter_overlapping_spans(
+    spans: "ray.data.Dataset", n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Keep leftmost-longest non-overlapping spans per document (M13 analog:
+    overlapping trie hits resolved keeping non-partial spans,
+    extract_pubmed_entities.py:8-37).
+
+    Documents are hash-bucketed (bounded group count); inside a bucket one
+    vectorized sort orders spans by (doc, start, -len) and a linear sweep
+    drops any span starting before the previous kept span's end.
+    """
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.uint64)
+        b = (hashing.splitmix64(d) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(__len=g["end"] - g["start"]).sort_values(
+            ["doc_id", "start", "__len"], ascending=[True, True, False],
+            kind="mergesort").reset_index(drop=True)
+        doc = g["doc_id"].to_numpy()
+        start = g["start"].to_numpy()
+        end = g["end"].to_numpy()
+        keep = np.zeros(len(g), dtype=bool)
+        last_doc, last_end = None, -1
+        for i in range(len(g)):
+            if doc[i] != last_doc:
+                last_doc, last_end = doc[i], -1
+            if start[i] >= last_end:
+                keep[i] = True
+                last_end = end[i]
+        return g.loc[keep, ["doc_id", "term", "start", "end"]]
+
+    return spans.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(sweep, batch_format="pandas")

@@ -112,6 +112,9 @@ def _commit(rng: np.random.RandomState) -> str:
 
 def generate_corpus(cfg: SynthConfig) -> SynthCorpus:
     rng = np.random.RandomState(cfg.seed)
+    cs = max(1.0, float(cfg.content_scale))
+    def nl(n):  # content-length knob: line counts scale together
+        return max(1, int(n * cs))
     rows: list[tuple[str, str, str, str, str]] = []  # repo, path, commit, lang, content
     cluster_of: list[tuple[int, str]] = []  # (row_idx, cluster_id)
     neg_pairs: list[tuple[int, int]] = []   # explicit negative row-index pairs
@@ -131,7 +134,7 @@ def generate_corpus(cfg: SynthConfig) -> SynthCorpus:
         nonlocal cl_n
         cid = f"cl{cl_n:06d}"
         cl_n += 1
-        base = _gen_program(rng, rng.randint(20, 60))
+        base = _gen_program(rng, nl(rng.randint(20, 60)))
         stem = f"{rng.choice(_FN_NAMES)}_{rng.randint(10_000)}"
         members = []
         for m in range(size):
@@ -158,7 +161,7 @@ def generate_corpus(cfg: SynthConfig) -> SynthCorpus:
     # post-contraction representative set is still a hot near-dup family that
     # exercises salting + windowed pair generation.
     vend_cid = f"cl{cl_n:06d}"; cl_n += 1
-    vend_lines = _gen_program(rng, 30)
+    vend_lines = _gen_program(rng, nl(30))
     vend_content = "\n".join(vend_lines)
     for i in range(cfg.hot_block_size):
         if i > 0 and i % 3 == 0:
@@ -172,16 +175,16 @@ def generate_corpus(cfg: SynthConfig) -> SynthCorpus:
     for _ in range(cfg.n_singletons):
         lang = str(rng.choice(cfg.langs))
         add_row(rng.choice(repos), _rand_path(rng, lang), _commit(rng), lang,
-                "\n".join(_gen_program(rng, rng.randint(10, 50))))
+                "\n".join(_gen_program(rng, nl(rng.randint(10, 50)))))
 
     # hard negatives: same lang + same path stem, different content
     for _ in range(cfg.n_hard_negatives):
         lang = str(rng.choice(cfg.langs))
         stem = f"{rng.choice(_FN_NAMES)}_{rng.randint(10_000)}"
         i = add_row(rng.choice(repos), _rand_path(rng, lang, stem=stem), _commit(rng),
-                    lang, "\n".join(_gen_program(rng, rng.randint(10, 40))))
+                    lang, "\n".join(_gen_program(rng, nl(rng.randint(10, 40)))))
         j = add_row(rng.choice(repos), _rand_path(rng, lang, stem=stem), _commit(rng),
-                    lang, "\n".join(_gen_program(rng, rng.randint(10, 40))))
+                    lang, "\n".join(_gen_program(rng, nl(rng.randint(10, 40)))))
         neg_pairs.append((i, j))
 
     # cross-lang decoys: same path tokens, different lang, different content
@@ -190,9 +193,9 @@ def generate_corpus(cfg: SynthConfig) -> SynthCorpus:
         la, lb = rng.choice(len(lang_list), size=2, replace=False)
         stem = f"{rng.choice(_FN_NAMES)}_{rng.randint(10_000)}"
         i = add_row(rng.choice(repos), _rand_path(rng, lang_list[la], stem=stem), _commit(rng),
-                    lang_list[la], "\n".join(_gen_program(rng, rng.randint(10, 40))))
+                    lang_list[la], "\n".join(_gen_program(rng, nl(rng.randint(10, 40)))))
         j = add_row(rng.choice(repos), _rand_path(rng, lang_list[lb], stem=stem), _commit(rng),
-                    lang_list[lb], "\n".join(_gen_program(rng, rng.randint(10, 40))))
+                    lang_list[lb], "\n".join(_gen_program(rng, nl(rng.randint(10, 40)))))
         neg_pairs.append((i, j))
 
     # ---- assemble tables ----
@@ -283,7 +286,8 @@ def generate_corpus(cfg: SynthConfig) -> SynthCorpus:
 
 def corpus_dir(cfg: SynthConfig, root: str = "/tmp/bel_ray_synth") -> str:
     key = (f"seed{cfg.seed}_s{cfg.n_singletons}_c{cfg.n_small_clusters}"
-           f"_m{cfg.n_medium_clusters}_h{cfg.hot_block_size}")
+           f"_m{cfg.n_medium_clusters}_h{cfg.hot_block_size}"
+           + (f"_cs{cfg.content_scale:g}" if cfg.content_scale != 1.0 else ""))
     return os.path.join(root, key)
 
 

@@ -1,0 +1,147 @@
+"""Tests for round-2 operators: extraction, sampling, set-agg, readers,
+per-lang eval, per-cluster MST, retrieval recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from tests.conftest import SF_DIR
+
+
+def test_dictionary_extract_counts():
+    from biomedical_entity_linking_ray.pipelines.text_analysis import dictionary_extract
+
+    df = dictionary_extract(SF_DIR).to_pandas()
+    assert set(df.columns) == {"doc_id", "term", "n_occurrences"}
+    assert (df["n_occurrences"] >= 1).all()
+    # determinism
+    df2 = dictionary_extract(SF_DIR).to_pandas()
+    key = ["doc_id", "term"]
+    pd.testing.assert_frame_equal(
+        df.sort_values(key).reset_index(drop=True),
+        df2.sort_values(key).reset_index(drop=True))
+
+
+def test_span_extract_and_overlap_filter():
+    from biomedical_entity_linking_ray.stages.extraction import (
+        extract_spans, filter_overlapping_spans,
+    )
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "tablet on the table top"},
+        {"doc_id": 2, "text": "hash hashhash"},
+    ])
+    spans = extract_spans(docs, ["table", "tablet", "hash"], concurrency=1)
+    kept = filter_overlapping_spans(spans).to_pandas().sort_values(
+        ["doc_id", "start"]).reset_index(drop=True)
+    d1 = kept[kept["doc_id"] == 1]
+    # longest-match wins at position 0 ('tablet', not 'table')
+    assert list(d1["term"]) == ["tablet", "table"]
+    d2 = kept[kept["doc_id"] == 2]
+    assert list(d2["term"]) == ["hash", "hash", "hash"]
+    # non-overlapping invariant
+    for _, g in kept.groupby("doc_id"):
+        g = g.sort_values("start")
+        assert (g["start"].to_numpy()[1:] >= g["end"].to_numpy()[:-1]).all()
+
+
+def test_keyed_sample_deterministic_and_rate():
+    from biomedical_entity_linking_ray.functions.sampling import keyed_sample
+
+    ds = rd.range(10000)
+    a = keyed_sample(ds, "id", 0.2, seed=7).to_pandas()
+    b = keyed_sample(rd.range(10000), "id", 0.2, seed=7).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("id").reset_index(drop=True),
+        b.sort_values("id").reset_index(drop=True))
+    assert 0.15 < len(a) / 10000 < 0.25
+    c = keyed_sample(rd.range(10000), "id", 0.2, seed=8).to_pandas()
+    assert set(c["id"]) != set(a["id"])  # seed changes the sample
+
+
+def test_set_union_aggregate():
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    ds = rd.from_items([
+        {"k": 1, "v": "b"}, {"k": 1, "v": "a"}, {"k": 1, "v": "b"},
+        {"k": 2, "v": "z"},
+    ])
+    out = bucketed_aggregate(ds, ["k"], {"vals": ("v", "set")}).to_pandas()
+    got = {r["k"]: list(r["vals"]) for _, r in out.iterrows()}
+    assert got == {1: ["a", "b"], 2: ["z"]}
+
+
+def test_xml_corpus_reader(tmp_path):
+    import gzip
+
+    from biomedical_entity_linking_ray.sources.readers import read_xml_corpus
+
+    xml = (b"<articles><article id='a1'><title>T1</title>"
+           b"<abstract>A1</abstract></article>"
+           b"<article id='a2'><title>T2</title><abstract>A2</abstract>"
+           b"</article></articles>")
+    (tmp_path / "c1.xml").write_bytes(xml)
+    (tmp_path / "c2.xml.gz").write_bytes(gzip.compress(
+        b"<articles><article id='b1'><title>T3</title>"
+        b"<abstract>A3</abstract></article></articles>"))
+    df = read_xml_corpus([str(tmp_path / "c1.xml"), str(tmp_path / "c2.xml.gz")]) \
+        .to_pandas().sort_values("doc_id")
+    assert list(df["doc_id"]) == ["a1", "a2", "b1"]
+    assert list(df["title"]) == ["T1", "T2", "T3"]
+
+
+def test_obo_reader(tmp_path):
+    from biomedical_entity_linking_ray.sources.readers import read_obo_ontology
+
+    (tmp_path / "o.obo").write_text(
+        "format-version: 1.2\n\n"
+        "[Term]\nid: X:1\nname: alpha\nsynonym: \"al\" EXACT []\n"
+        "synonym: \"alp\" RELATED []\nalt_id: X:9\n\n"
+        "[Term]\nid: X:2\nname: beta\nis_obsolete: true\n\n"
+        "[Typedef]\nid: part_of\n")
+    df = read_obo_ontology(str(tmp_path / "o.obo")).to_pandas().sort_values("term_id")
+    assert list(df["term_id"]) == ["X:1", "X:2"]
+    r = df.iloc[0]
+    assert r["name"] == "alpha" and r["synonyms"] == "al|alp" and r["alt_ids"] == "X:9"
+    assert not r["is_obsolete"] and bool(df.iloc[1]["is_obsolete"])
+
+
+def test_per_lang_f1_breakdown(small_corpus, linkage_result):
+    from biomedical_entity_linking_ray.stages.evaluation import pairwise_f1_by_group
+
+    cfg, res = linkage_result
+    gp = small_corpus.gold_pairs.to_pandas()
+    bd = pairwise_f1_by_group(gp, res.assignments, res.block_rows, res.members)
+    assert len(bd) >= 2  # several langs present
+    assert bd["n"].sum() > 0
+    assert (bd["f1"] >= 0.9).all(), bd  # every lang near-perfect on planted data
+
+
+def test_per_cluster_mst(linkage_result):
+    from biomedical_entity_linking_ray.stages.mst import per_cluster_mst
+
+    cfg, res = linkage_result
+    forest = per_cluster_mst(res.edges, res.assignments, cfg).to_pandas()
+    if len(forest) == 0:
+        pytest.skip("no thresholded edges at this scale")
+    sizes = res.assignments.to_pandas().groupby("cluster_id").size()
+    per_cl = forest.groupby("cluster_id").size()
+    # a spanning forest has at most size-1 edges per cluster, and the kept
+    # edges never leave their cluster
+    for cid, n_edges in per_cl.items():
+        assert n_edges <= sizes[cid] - 1, (cid, n_edges, sizes[cid])
+    assign = res.assignments.to_pandas().set_index("file_id")["cluster_id"]
+    assert (forest["id_a"].map(assign) == forest["cluster_id"]).all()
+    assert (forest["id_b"].map(assign) == forest["cluster_id"]).all()
+
+
+def test_label_recall_monotone():
+    from biomedical_entity_linking_ray.pipelines.similarity import label_recall_at_k
+
+    t = label_recall_at_k(SF_DIR).to_pandas()
+    assert list(t["k"]) == [1, 3, 5]
+    # recall@k is monotone nondecreasing in k
+    assert (np.diff(t["recall"].to_numpy()) >= -1e-12).all()
+    assert ((0 <= t["recall"]) & (t["recall"] <= 1)).all()

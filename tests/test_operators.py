@@ -40,6 +40,9 @@ def _assert_matches_oracle(name: str, con):
     "customers_without_orders", "parts_with_lineitems", "event_type_counts",
     "union_order_extremes", "events_hourly", "high_value_lineitems",
     "token_counts", "exact_dedup", "knn_bruteforce",
+    "quality_scores", "language_id", "dictionary_extract",
+    "embedding_near_dup", "knn_label_recall", "part_returnflag_sets",
+    "orders_sample", "order_flag_sequences",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
