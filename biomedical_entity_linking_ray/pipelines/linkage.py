@@ -131,12 +131,13 @@ def run_linkage(
 
     # ONE contraction run feeds both outputs (members/reps are projections of
     # the same pinned join -- recomputing it per output doubles the shuffle)
+    n_reps = None
     if ckpt is not None and ckpt.is_complete("s1_members") and ckpt.is_complete("s1_reps"):
         members = ckpt.read_stage("s1_members")
         reps = ckpt.read_stage("s1_reps")
     else:
         _t0 = _time.time()
-        members, reps = contraction.exact_contract(feats, cfg)
+        members, reps, n_reps = contraction.exact_contract(feats, cfg)
         if ckpt is not None:
             members = ckpt.write_stage("s1_members", members, {})
             reps = ckpt.write_stage("s1_reps", reps, {})
@@ -145,6 +146,8 @@ def run_linkage(
         # two more copies through the object store for nothing
         if _timing:
             print(f"[stage s1 contract] {_time.time() - _t0:.2f}s", flush=True)
+    if n_reps is None:
+        n_reps = reps.count()
 
     block_rows = persist("s2_blocks", lambda: (
         blocking.salt_hot_keys(
@@ -152,24 +155,16 @@ def run_linkage(
     # ^ inner materialize: emit output is consumed twice (hot-key counting +
     # salting rewrite) within the stage build
 
-    # fused stage 1.5/2: member-set block dedup -> enrich once -> in-block
-    # scoring + local contraction (see stages/fused_scoring.py for why this
-    # replaces the two-join pair-feature attach at scale). In the non-ckpt
-    # path `enriched` stays LAZY: it has exactly one consumer (the coarse
-    # scoring shuffle), so the join output streams straight into the shuffle
-    # map side instead of round-tripping through the object store.
+    # fused stage 1.5/2: member-set block dedup -> in-block scoring + local
+    # contraction (see stages/fused_scoring.py). Feature delivery adapts:
+    # while the rep feature table fits the broadcast bound, the coarse scoring
+    # shuffle moves ONLY skinny (block_key, file_id) strings and each bucket
+    # looks payloads up from the worker-cached broadcast; beyond the bound
+    # (the 10^12-scale regime) features ride the shuffle via the enrich join.
     _t0 = _time.time()
-    if ckpt is not None:
-        enriched = persist("s3_enriched", lambda: (
-            fused_scoring.enrich_block_rows(
-                fused_scoring.dedup_blocks_by_memberset(block_rows, cfg), reps, cfg), {}))
-        empty_blocks = enriched.count() == 0
-    else:
-        enriched = fused_scoring.enrich_block_rows(
-            fused_scoring.dedup_blocks_by_memberset(block_rows, cfg), reps, cfg)
-        # memberset dedup / enrich cannot empty a nonempty block table, so the
-        # emptiness probe reads the already-pinned block_rows, not the join
-        empty_blocks = block_rows.count() == 0
+    empty_blocks = block_rows.count() == 0
+    # (memberset dedup / enrich cannot empty a nonempty block table, so the
+    # emptiness probe reads the already-pinned block_rows)
 
     if empty_blocks:
         scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
@@ -178,7 +173,16 @@ def run_linkage(
         scored = ckpt.read_stage("s4_scored")
         stars = ckpt.read_stage("s5_stars")
     else:
-        scored, stars = fused_scoring.score_blocks(enriched, cfg)
+        blocks_dd = fused_scoring.dedup_blocks_by_memberset(block_rows, cfg)
+        if n_reps <= cfg.broadcast_side_max:
+            feats_ref = ray.put(
+                reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
+                .to_pandas())
+            scored, stars = fused_scoring.score_blocks(
+                blocks_dd, cfg, feats_ref=feats_ref)
+        else:
+            enriched = fused_scoring.enrich_block_rows(blocks_dd, reps, cfg)
+            scored, stars = fused_scoring.score_blocks(enriched, cfg)
         if ckpt is not None:
             scored = ckpt.write_stage(
                 "s4_scored", scored.materialize(), {"pairs_scored": scored.count()})

@@ -23,32 +23,51 @@ from biomedical_entity_linking_ray.config import LinkageConfig
 
 def exact_contract(
     feats: "ray.data.Dataset", cfg: LinkageConfig
-) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    """feature table -> (members, reps).
+) -> tuple["ray.data.Dataset", "ray.data.Dataset", int]:
+    """feature table -> (members, reps, n_reps).
 
     members: (file_id, rep_id, content_sha, repo, path, commit, lang) -- every input row
     reps:    feature rows where file_id == rep_id (one per unique content)
+    n_reps:  unique-content count (== sha_rep rows, already computed here) --
+             callers use it for broadcast-vs-join decisions without another scan
     """
     from biomedical_entity_linking_ray.config import effective_partitions
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
     from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
     from biomedical_entity_linking_ray.stages.normalize import FEATURE_SCHEMA
 
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
     P = effective_partitions(cfg)
     sha_rep = bucketed_aggregate(
         feats.select_columns(["content_sha", "file_id"]),
         ["content_sha"], {"rep_id": ("file_id", "min")},
         n_buckets=P * 4,
-    )
+    ).materialize()
     mem_schema = FEATURE_SCHEMA.append(pa.field("rep_id", pa.string()))
-    joined = hash_join(
-        feats, sha_rep, "inner", P, on=("content_sha",)
-    ).map_batches(
-        heal_projection(mem_schema, lambda t: t.select(mem_schema.names)),
-        batch_format="pyarrow",
-    ).materialize()  # members AND reps derive from this: pin once, not twice
+    if sha_rep.count() <= cfg.broadcast_side_max:
+        # broadcast fast path: sha -> rep map ray.put once, dict built once
+        # per worker, vectorized attach per batch (no join actor fleet)
+        rep_ref = _ray.put(sha_rep.to_pandas())
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = cached_broadcast(
+                rep_ref, lambda df: dict(zip(df["content_sha"], df["rep_id"])))
+            reps_col = [m[s] for s in t["content_sha"].to_pylist()]
+            return t.append_column("rep_id", pa.array(reps_col, pa.string()))
+
+        joined = feats.map_batches(attach, batch_format="pyarrow").materialize()
+    else:
+        joined = hash_join(
+            feats, sha_rep, "inner", P, on=("content_sha",)
+        ).map_batches(
+            heal_projection(mem_schema, lambda t: t.select(mem_schema.names)),
+            batch_format="pyarrow",
+        ).materialize()  # members AND reps derive from this: pin once, not twice
     reps = joined.filter(expr="file_id == rep_id")
     members_skinny = joined.select_columns(
         ["file_id", "rep_id", "content_sha", "repo", "path", "commit", "lang"]
     )
-    return members_skinny, reps
+    return members_skinny, reps, sha_rep.count()

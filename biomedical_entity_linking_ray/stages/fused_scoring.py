@@ -48,8 +48,14 @@ def dedup_blocks_by_memberset(
     block_rows: "ray.data.Dataset", cfg: LinkageConfig
 ) -> "ray.data.Dataset":
     """Keep one block key per distinct member set (skinny, 2 bucketed aggs +
-    1 semi join). Set hash = sum of splitmix64(fnv(id)) -- commutative, so it
-    aggregates without collecting the set."""
+    1 semi filter). Set hash = sum of splitmix64(fnv(id)) -- commutative, so
+    it aggregates without collecting the set. The representative-key side is
+    broadcast when it fits (vectorized is_in per batch); semi hash join
+    beyond the bound."""
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
     P = effective_partitions(cfg)
 
     def add_idhash(t: pa.Table) -> pa.Table:
@@ -71,20 +77,56 @@ def dedup_blocks_by_memberset(
         sethash.filter(expr="cnt >= 2"), ["mh", "cnt"],
         {"block_key": ("block_key", "min")},
         n_buckets=P * 4,
-    ).select_columns(["block_key"])
+    ).select_columns(["block_key"]).materialize()
+    if rep_keys.count() <= cfg.broadcast_side_max:
+        import pyarrow.compute as pc
+
+        keys_ref = _ray.put(pa.array(rep_keys.to_pandas()["block_key"], pa.string()))
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = cached_broadcast(keys_ref)
+            return t.filter(pc.is_in(t["block_key"], value_set=ks))
+
+        return block_rows.map_batches(semi, batch_format="pyarrow")
     return hash_join(block_rows, rep_keys, "left_semi", P, on=("block_key",))
 
 
 def enrich_block_rows(
     block_rows: "ray.data.Dataset", reps: "ray.data.Dataset", cfg: LinkageConfig
 ) -> "ray.data.Dataset":
-    """Join per-row features onto block rows (once per row, not per pair)."""
+    """Attach per-row features onto block rows (once per row, not per pair).
+
+    The feature side (one row per unique content) is broadcast when it fits
+    (`ray.put` once, indexed lookup built once per worker, vectorized take per
+    batch); a partitioned hash join beyond the bound (the 10^12-scale path).
+    """
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
     P = effective_partitions(cfg)
     feats = reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
     out_schema = pa.schema([
         ("block_key", pa.string()), ("file_id", pa.string()),
         ("path_norm", pa.string()), ("sig", pa.binary()), ("tfvec", pa.binary()),
     ])
+    feats = feats.materialize()
+    if feats.count() <= cfg.broadcast_side_max:
+        feats_ref = _ray.put(feats.to_pandas())
+
+        def enrich(t: pa.Table) -> pa.Table:
+            idx = cached_broadcast(
+                feats_ref, lambda df: df.set_index("file_id", drop=False))
+            sel = idx.reindex(t["file_id"].to_pylist())
+            return pa.table({
+                "block_key": t["block_key"],
+                "file_id": t["file_id"],
+                "path_norm": pa.array(sel["path_norm"].to_numpy(), pa.string()),
+                "sig": pa.array(sel["sig"].tolist(), pa.binary()),
+                "tfvec": pa.array(sel["tfvec"].tolist(), pa.binary()),
+            })
+
+        return block_rows.map_batches(enrich, batch_format="pyarrow")
     return hash_join(
         block_rows, feats, "inner", P, on=("file_id",)
     ).map_batches(
@@ -104,7 +146,7 @@ def _empty_out() -> pd.DataFrame:
 
 
 def score_blocks(
-    enriched: "ray.data.Dataset", cfg: LinkageConfig
+    rows: "ray.data.Dataset", cfg: LinkageConfig, feats_ref=None,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """One bucketed shuffle -> (scored_pairs, star_edges).
 
@@ -114,7 +156,19 @@ def score_blocks(
     rows are tagged 'p' (scored pair) / 's' (star edge) and split after the
     shuffle; pair rows dedup by max score across blocks, star rows by
     distinct.
+
+    Two feature-delivery modes:
+    - ``feats_ref`` given (a `ray.put` ObjectRef of the rep feature frame):
+      `rows` is the SKINNY (block_key, file_id) table -- only strings move
+      through the coarse shuffle and payloads are looked up per bucket from
+      the worker-cached broadcast. The fast path while the feature table fits
+      the object store.
+    - ``feats_ref`` None: `rows` is the enriched table carrying
+      path_norm/sig/tfvec (the 10^12-scale path fed by `enrich_block_rows`'s
+      hash join; payload rides the shuffle because no node could hold it).
     """
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
     num_perm, tf_dim = cfg.num_perm, cfg.tf_dim
     W, all_max, tau = cfg.pair_window, cfg.all_pairs_max, cfg.tau
     w_jw, w_jac, w_cos = cfg.w_jw, cfg.w_jac, cfg.w_cos
@@ -128,7 +182,7 @@ def score_blocks(
         b = (h % np.uint64(n_coarse)).astype(np.int64)
         return t.append_column("__coarse", pa.array(b))
 
-    coarse = enriched.map_batches(add_coarse, batch_format="pyarrow")
+    coarse = rows.map_batches(add_coarse, batch_format="pyarrow")
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["block_key", "file_id"]).sort_values(
@@ -138,10 +192,20 @@ def score_blocks(
             return _empty_out()
         keys = g["block_key"].to_numpy()
         ids = g["file_id"].to_numpy()
-        paths = g["path_norm"].to_numpy()
-        sigs = np.frombuffer(b"".join(g["sig"].tolist()), dtype=np.uint16
+        if feats_ref is not None:
+            idx = cached_broadcast(
+                feats_ref, lambda df: df.set_index("file_id", drop=False))
+            sel = idx.reindex(ids)
+            paths = sel["path_norm"].to_numpy()
+            sig_col = sel["sig"].tolist()
+            vec_col = sel["tfvec"].tolist()
+        else:
+            paths = g["path_norm"].to_numpy()
+            sig_col = g["sig"].tolist()
+            vec_col = g["tfvec"].tolist()
+        sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint16
                              ).reshape(n, num_perm)
-        vecs = np.frombuffer(b"".join(g["tfvec"].tolist()), dtype=np.float16
+        vecs = np.frombuffer(b"".join(vec_col), dtype=np.float16
                              ).reshape(n, tf_dim).astype(np.float32)
 
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])

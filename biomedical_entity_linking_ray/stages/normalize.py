@@ -74,7 +74,9 @@ class FeatureExtractor:
         n_tokens = np.empty(n, dtype=np.int64)
         for i, content in enumerate(contents):
             norm = strings.normalize_content(content)
-            sh = hashing.char_shingle_hashes(norm, cfg.shingle_k, cfg.max_shingles)
+            sh = hashing.sample_shingles(
+                hashing.char_shingle_hashes(norm, cfg.shingle_k, cfg.max_shingles),
+                cfg.shingle_sample_mod)
             sigs[i] = self.hasher.signature(sh).astype(np.uint16)  # low 16 bits
             vecs[i] = hashing.hashed_tf_vector(sh, cfg.tf_dim).astype(np.float16)
             n_tokens[i] = norm.count(" ") + 1 if norm else 0

@@ -31,7 +31,7 @@ def test_checkpointed_run_resumes(small_corpus, ckpt_root):
     run = CheckpointedRun(root, cfg)
     # every stage is complete with per-partition inventory + counters
     for stage in ["s0_features", "s1_members", "s1_reps", "s2_blocks",
-                  "s3_enriched", "s4_scored", "s5_stars",
+                  "s4_scored", "s5_stars",
                   "s6_clusters", "s7_assignments"]:
         assert run.is_complete(stage), stage
         m = run.manifest(stage)
