@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
         "embedding_near_dup": dedup.embedding_near_dup_exact,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_pairs,
         # --- similarity search over embeddings ---
@@ -192,6 +193,29 @@ def oracle_sql() -> dict[str, str]:
                     / length(t.term) AS BIGINT) AS n_occurrences
         FROM documents d CROSS JOIN terms t
         WHERE contains(lower(d.text), t.term)
+    """
+    out["ngram_jaccard_exact"] = """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 1, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   )) AS grams
+            FROM toks
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.grams, b.grams)) AS inter,
+                   len(a.grams) AS na, len(b.grams) AS nb
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+        FROM p
+        WHERE na + nb - inter > 0 AND inter / (na + nb - inter) >= 0.5
     """
     out["embedding_near_dup"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

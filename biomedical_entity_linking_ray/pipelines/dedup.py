@@ -314,6 +314,102 @@ def ngram_jaccard_pairs(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+_WS_TOKEN = None  # compiled lazily: explicit ASCII whitespace class so the
+# tokenizer is reproducible in RE2-based SQL engines (unicode \s differs)
+
+
+def ngram_jaccard_exact(
+    sf_dir: str, n: int = 3, threshold: float = 0.5, chunk: int = 1000,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, jaccard): EXACT all-pairs token-n-gram Jaccard >= threshold.
+
+    The brute-force baseline next to the LSH-candidate variant above (same
+    relationship as embedding_near_dup_exact vs the hyperplane-LSH pairs):
+    chunk-pair Ray tasks, each holding two chunks' sorted distinct gram-hash
+    arrays from the object store; per a-doc one vectorized searchsorted
+    against the b-chunk's concatenated grams + segment-sum. Data never flows
+    through the driver. O(B^2) tasks -- exactness costs all-pairs; the LSH
+    path is the 100-TB route.
+
+    Gram identity is a 64-bit FNV hash (collision odds ~|grams|^2 / 2^64);
+    tokens split on the explicit ASCII whitespace class so a SQL oracle
+    tokenizes identically.
+    """
+    import re
+
+    import ray as _ray
+
+    global _WS_TOKEN
+    if _WS_TOKEN is None:
+        _WS_TOKEN = re.compile(r"[^ \t\n\r]+")
+    path = os.path.join(sf_dir, "documents.parquet")
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    n_rows = pf.metadata.num_rows
+
+    @_ray.remote
+    def load(offset: int, count: int):
+        t = pq.read_table(path, columns=["doc_id", "text"]).slice(offset, count)
+        ids = t["doc_id"].to_numpy()
+        grams, offs = [], [0]
+        sizes = np.empty(len(ids), np.int64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            toks = _WS_TOKEN.findall(s)
+            gs = {" ".join(toks[j:j + n]) for j in range(max(0, len(toks) - n + 1))}
+            arr = np.sort(np.fromiter((hashing.fnv1a_str(g) for g in gs),
+                                      dtype=np.uint64, count=len(gs)))
+            grams.append(arr)
+            sizes[i] = arr.size
+            offs.append(offs[-1] + arr.size)
+        return ids, np.concatenate(grams) if grams else np.zeros(0, np.uint64), \
+            np.asarray(offs, np.int64), sizes
+
+    @_ray.remote
+    def score(ca, cb, same: bool):
+        ia, ga, offa, sa = ca
+        ib, gb, offb, sb = cb
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ia)):
+            a_arr = ga[offa[i]:offa[i + 1]]
+            if a_arr.size == 0:
+                continue
+            idx = np.searchsorted(a_arr, gb)
+            np.clip(idx, 0, a_arr.size - 1, out=idx)
+            hit = (a_arr[idx] == gb).astype(np.int64)
+            if gb.size:
+                # reduceat gotchas: an empty trailing segment would index past
+                # the end, and an empty segment yields hit[start] not 0 --
+                # clip the starts and zero empty segments explicitly
+                starts = np.minimum(offb[:-1], gb.size - 1)
+                inter = np.add.reduceat(hit, starts)
+                inter[sb == 0] = 0
+            else:
+                inter = np.zeros(len(ib), np.int64)
+            union = sa[i] + sb - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            keep = jac >= threshold
+            if same:
+                keep &= ib > ia[i]  # upper triangle within the same chunk
+            for j in np.flatnonzero(keep):
+                lo, hi = (ia[i], ib[j]) if ia[i] < ib[j] else (ib[j], ia[i])
+                out_a.append(lo); out_b.append(hi); out_j.append(jac[j])
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    chunks = [load.remote(o, chunk) for o in range(0, n_rows, chunk)]
+    parts = [score.remote(chunks[i], chunks[j], i == j)
+             for i in range(len(chunks)) for j in range(i, len(chunks))]
+    tables = [t for t in _ray.get(parts) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    return ray.data.from_arrow(pa.concat_tables(tables))
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

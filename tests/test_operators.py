@@ -42,7 +42,7 @@ def _assert_matches_oracle(name: str, con):
     "token_counts", "exact_dedup", "knn_bruteforce",
     "quality_scores", "language_id", "dictionary_extract",
     "embedding_near_dup", "knn_label_recall", "part_returnflag_sets",
-    "orders_sample", "order_flag_sequences",
+    "orders_sample", "order_flag_sequences", "ngram_jaccard_exact",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
@@ -116,9 +116,23 @@ def test_multimodal_decode_roundtrip():
     assert len(df) == 500
     assert (df["width"] >= 8).all() and (df["height"] >= 8).all()
     assert df["pixel_mean"].between(0, 255).all()
+    # real formats, both codecs exercised; 8x8 grayscale thumbnails present
+    assert set(df["format"]) == {"png", "ppm"}
+    assert (df["thumb8"].map(len) == 64).all()
     # determinism
     df2 = image_feature_pipeline(SF_DIR).to_pandas()
     pd.testing.assert_frame_equal(
         df.sort_values("doc_id").reset_index(drop=True),
         df2.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_image_codecs_roundtrip():
+    """PNG (all encode filters) and PPM codecs are real and lossless."""
+    from biomedical_entity_linking_ray.pipelines import multimodal as M
+
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 256, size=(11, 19, 3), dtype=np.uint8)
+    assert np.array_equal(M.ppm_decode(M.ppm_encode(arr)), arr)
+    assert np.array_equal(M.png_decode(M.png_encode(arr, 0)), arr)
+    assert np.array_equal(M.png_decode(M.png_encode(arr, 2)), arr)
