@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_returnflag_sets": relational.part_returnflag_sets,
         "orders_sample": relational.orders_sample,
         "order_flag_sequences": relational.order_flag_sequences,
+        "order_stats": relational.order_stats,
+        "top_order_per_customer": relational.top_order_per_customer,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "quality_scores": text_analysis.quality_scores,

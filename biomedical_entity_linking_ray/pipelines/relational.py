@@ -300,6 +300,81 @@ def order_flag_sequences(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset"
 
 
 # ---------------------------------------------------------------------------
+# A5 analog: dataset statistics (uniques / overlaps between key sets)
+# ---------------------------------------------------------------------------
+
+def order_stats(sf_dir: str) -> "ray.data.Dataset":
+    """One-row summary: row counts, distinct-key counts, and the overlap /
+    difference between the customer sets of orders and customer tables
+    (reference A5: dataset statistics with uniques + per-split overlaps,
+    bioel/bioel/utils/statistics.py:6-75; D7 set intersect/difference
+    :20-61). Distincts are per-batch pre-deduped then globally merged; the
+    overlap is a broadcast membership count -- no shuffle of either table."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from biomedical_entity_linking_ray.functions.groups import bucketed_distinct
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_orders = orders.count()
+    o_cust = bucketed_distinct(orders, ["o_custkey"])
+    n_order_cust = o_cust.count()
+    ckeys = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey"])["c_custkey"]
+    n_customers = len(ckeys)
+    key_ref = ray.put(pc.unique(ckeys.combine_chunks()))
+
+    def overlap_partial(t: pa.Table) -> pa.Table:
+        inside = pc.sum(
+            pc.is_in(t["o_custkey"], value_set=ray.get(key_ref)).cast(pa.int64())
+        ).as_py() or 0
+        return pa.table({"n": pa.array([inside], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    n_overlap = o_cust.map_batches(overlap_partial, batch_format="pyarrow") \
+        .aggregate(Sum("n"))["sum(n)"]
+    return ray.data.from_arrow(pa.table({
+        "n_orders": pa.array([n_orders], pa.int64()),
+        "n_customers": pa.array([n_customers], pa.int64()),
+        "n_ordering_customers": pa.array([n_order_cust], pa.int64()),
+        "n_overlap": pa.array([int(n_overlap)], pa.int64()),
+        "n_customers_without_orders": pa.array([n_customers - int(n_overlap)], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# A3 analog: grouped top-1 by rank (canonical-name selection shape)
+# ---------------------------------------------------------------------------
+
+def top_order_per_customer(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """(o_custkey, o_orderkey, o_totalprice): each customer's single
+    highest-value order, ties broken by smallest order key (reference A3:
+    rank-ordered first alias per cui, umls_utils.py:183-237 -- grouped top-1
+    with a deterministic priority order). Bucketed by customer; one
+    vectorized sort + drop_duplicates per bucket."""
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy().astype(np.uint64)
+        b = (hashing.splitmix64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates("o_custkey", keep="first")[
+            ["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    return _round_cols(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("__bucket").map_groups(top1, batch_format="pandas"),
+        ["o_totalprice"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming-shaped: tumbling window aggregate over the events log
 # ---------------------------------------------------------------------------
 
@@ -424,6 +499,25 @@ SQL: dict[str, str] = {
         FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 8)
               < '19999999'
+    """,
+    "order_stats": """
+        SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+               (SELECT COUNT(*) FROM customer) AS n_customers,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_ordering_customers,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_overlap,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+                   AS n_customers_without_orders
+    """,
+    "top_order_per_customer": """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn = 1
     """,
     "order_flag_sequences": """
         WITH r AS (

@@ -178,6 +178,92 @@ def read_obo_ontology(paths: str | list[str]) -> "ray.data.Dataset":
     return ray.data.read_binary_files(paths).flat_map(parse_file)
 
 
+def read_medic_table(paths: str | list[str]) -> "ray.data.Dataset":
+    """MEDIC-shaped TSV (CTD disease vocabulary) -> entity rows.
+
+    Reference analog: S6 load_medic (ontology.py:169-233): '#'-prefixed
+    header comments, columns DiseaseName / DiseaseID / AltDiseaseIDs /
+    Definition / Synonyms ('|'-separated). Emits one flat row per entity
+    (synonyms/alt ids stay '|'-joined); duplicate-id rows are dropped
+    deterministically (min name wins -- reference D3 duplicate-CUI skip,
+    ontology.py:224-230, made parallel-safe).
+    """
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    def parse(t: pa.Table) -> pa.Table:
+        names, ids, alts, defs, syns = [], [], [], [], []
+        for line in t["text"].to_pylist():
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t")
+            if len(f) < 2:
+                continue
+            names.append(f[0])
+            ids.append(f[1])
+            alts.append(f[2] if len(f) > 2 else "")
+            defs.append(f[3] if len(f) > 3 else "")
+            syns.append(f[7] if len(f) > 7 else (f[4] if len(f) > 4 else ""))
+        return pa.table({
+            "entity_id": pa.array(ids, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "alt_ids": pa.array(alts, pa.string()),
+            "definition": pa.array(defs, pa.string()),
+            "synonyms": pa.array(syns, pa.string()),
+        })
+
+    rows = ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")
+    return bucketed_aggregate(rows, ["entity_id"], {
+        "name": ("name", "min"), "alt_ids": ("alt_ids", "min"),
+        "definition": ("definition", "min"), "synonyms": ("synonyms", "min"),
+    })
+
+
+_GENE_TYPE_DROP = {"unknown", "tRNA", "rRNA", "snRNA", "snoRNA", "miscRNA"}
+
+
+def read_gene_info(
+    paths: str | list[str], taxon: int | None = None,
+) -> "ray.data.Dataset":
+    """Entrez gene_info-shaped TSV -> gene rows with the reference's row
+    filters applied.
+
+    Reference analog: S7 load_entrez (ontology.py:236-324) + M12 filters
+    (ontology.py:283-289, extract_ncbi_gene.py:9-33): drop low-information
+    gene types, 'hypothetical protein' descriptions and predicted
+    (LOC-prefixed) symbols; optional taxon filter. Columns: tax_id, GeneID,
+    Symbol, Synonyms, description, type_of_gene (tab-separated, '#' header).
+    """
+
+    def parse(t: pa.Table) -> pa.Table:
+        tax, gid, sym, syn, desc, typ = [], [], [], [], [], []
+        for line in t["text"].to_pylist():
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t")
+            if len(f) < 6:
+                continue
+            if taxon is not None and f[0] != str(taxon):
+                continue
+            if f[5] in _GENE_TYPE_DROP:
+                continue
+            if f[4].lower().startswith("hypothetical protein"):
+                continue
+            if f[2].startswith("LOC"):
+                continue
+            tax.append(int(f[0])); gid.append(f[1]); sym.append(f[2])
+            syn.append(f[3]); desc.append(f[4]); typ.append(f[5])
+        return pa.table({
+            "tax_id": pa.array(tax, pa.int64()),
+            "gene_id": pa.array(gid, pa.string()),
+            "symbol": pa.array(sym, pa.string()),
+            "synonyms": pa.array(syn, pa.string()),
+            "description": pa.array(desc, pa.string()),
+            "gene_type": pa.array(typ, pa.string()),
+        })
+
+    return ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
 def read_jsonl_records(paths: str | list[str]) -> "ray.data.Dataset":
     """JSONL mention/KB records (reference analogs: S9 load_json
     ontology.py:583-620, S11 read_dataset BiEncoderLightningDataModule.py:28-41)."""

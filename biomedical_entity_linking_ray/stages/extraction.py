@@ -109,6 +109,113 @@ def extract_spans(
     )
 
 
+def resolve_abbreviations(
+    spans: "ray.data.Dataset",
+    abbrev_map: dict,
+) -> "ray.data.Dataset":
+    """Append a deabbreviated term column using a per-document abbreviation
+    map (reference M4: resolve_abbreviation / add_deabbreviations,
+    bigbio_utils.py:322-341 and :40-76 -- `abbreviations.json` is a
+    doc_id -> {short: long} dict loaded once and applied per mention).
+
+    The map is broadcast via `ray.put` and fetched once per worker; rows keep
+    the original term when no expansion exists.
+    """
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    ref = ray.put(abbrev_map)
+
+    def apply(t: pa.Table) -> pa.Table:
+        m = cached_broadcast(ref)
+        out = [
+            m.get(d, {}).get(term, term)
+            for d, term in zip(t["doc_id"].to_pylist(), t["term"].to_pylist())
+        ]
+        return t.append_column("term_resolved", pa.array(out, pa.string()))
+
+    return spans.map_batches(apply, batch_format="pyarrow")
+
+
+def attach_context_windows(
+    spans: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    window: int = 16,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Attach left/right word-window context around each span (reference M5:
+    get_left_context/get_right_context, bigbio_utils.py:302-319 -- word
+    windows capped at `window` tokens on each side).
+
+    Spans and documents are co-bucketed by doc id (one shuffle each, bounded
+    group count) so the window slicing reads each document exactly once per
+    bucket -- text never fans out per span.
+    """
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def tag(col):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t[col].to_numpy().astype(np.uint64)
+            b = (hashing.splitmix64(d) % np.uint64(n_buckets)).astype(np.int64)
+            return t.append_column("__bucket", pa.array(b))
+        return fn
+
+    s = spans.map_batches(tag("doc_id"), batch_format="pyarrow")
+    d = docs.select_columns(["doc_id", "text"]).map_batches(
+        tag("doc_id"), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                            "__bucket": t["__bucket"],
+                            "term": pa.nulls(t.num_rows, pa.string()),
+                            "start": pa.nulls(t.num_rows, pa.int64()),
+                            "end": pa.nulls(t.num_rows, pa.int64())}),
+        batch_format="pyarrow",
+    )
+    s2 = s.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": pa.nulls(t.num_rows, pa.string()),
+                            "__bucket": t["__bucket"], "term": t["term"],
+                            "start": t["start"], "end": t["end"]}),
+        batch_format="pyarrow",
+    )
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        texts = {r.doc_id: r.text for r in g[g["text"].notna()].itertuples()}
+        sp = g[g["text"].isna()]
+        ctx_l, ctx_r = [], []
+        for r in sp.itertuples():
+            text = texts.get(r.doc_id, "")
+            ctx_l.append(" ".join(text[: int(r.start)].split()[-window:]))
+            ctx_r.append(" ".join(text[int(r.end):].split()[:window]))
+        out = sp[["doc_id", "term", "start", "end"]].copy()
+        out["ctx_left"] = ctx_l
+        out["ctx_right"] = ctx_r
+        return out
+
+    return s2.union(d).groupby("__bucket").map_groups(windows, batch_format="pandas")
+
+
+def build_entity_descriptions(entities: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(entity_id, description_text): 'name (synonyms) [definition]' strings
+    (reference M11: entity description builder, arboel data_utils.py:114-156
+    -- the flattened dictionary text fed to the candidate encoder)."""
+
+    def fmt(t: pa.Table) -> pa.Table:
+        out = []
+        for name, syn, dfn in zip(t["name"].to_pylist(), t["synonyms"].to_pylist(),
+                                  t["definition"].to_pylist()):
+            s = name or ""
+            if syn:
+                s += f" ({syn.replace('|', ', ')})"
+            if dfn:
+                s += f" [{dfn}]"
+            out.append(s)
+        return pa.table({
+            "entity_id": t["entity_id"],
+            "description_text": pa.array(out, pa.string()),
+        })
+
+    return entities.map_batches(fmt, batch_format="pyarrow")
+
+
 def filter_overlapping_spans(
     spans: "ray.data.Dataset", n_buckets: int = 64,
 ) -> "ray.data.Dataset":

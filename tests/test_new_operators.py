@@ -108,6 +108,67 @@ def test_obo_reader(tmp_path):
     assert not r["is_obsolete"] and bool(df.iloc[1]["is_obsolete"])
 
 
+def test_medic_reader(tmp_path):
+    from biomedical_entity_linking_ray.sources.readers import read_medic_table
+
+    (tmp_path / "medic.tsv").write_text(
+        "# DiseaseName\tDiseaseID\tAltDiseaseIDs\tDefinition\n"
+        "Asthma\tMESH:D001249\tOMIM:600807\tA chronic disease\n"
+        "Zeta\tMESH:D001249\t\t\n"              # duplicate id: min name wins
+        "Flu\tMESH:D007251\t\tViral infection\n")
+    df = read_medic_table(str(tmp_path / "medic.tsv")).to_pandas().sort_values("entity_id")
+    assert list(df["entity_id"]) == ["MESH:D001249", "MESH:D007251"]
+    assert df.iloc[0]["name"] == "Asthma"
+
+
+def test_gene_info_reader_filters(tmp_path):
+    from biomedical_entity_linking_ray.sources.readers import read_gene_info
+
+    (tmp_path / "gene_info.tsv").write_text(
+        "#tax_id\tGeneID\tSymbol\tSynonyms\tdescription\ttype_of_gene\n"
+        "9606\t1\tA1BG\talpha\talpha-1-B glycoprotein\tprotein-coding\n"
+        "9606\t2\tTRX9\t-\tsome tRNA\ttRNA\n"                      # type drop
+        "9606\t3\tLOC999\t-\tuncharacterized\tprotein-coding\n"    # LOC drop
+        "9606\t4\tHYP1\t-\thypothetical protein X\tprotein-coding\n"  # hyp drop
+        "10090\t5\tMm1\t-\tmouse gene\tprotein-coding\n")
+    df = read_gene_info(str(tmp_path / "gene_info.tsv")).to_pandas()
+    assert sorted(df["symbol"]) == ["A1BG", "Mm1"]
+    df_h = read_gene_info(str(tmp_path / "gene_info.tsv"), taxon=9606).to_pandas()
+    assert list(df_h["symbol"]) == ["A1BG"]
+
+
+def test_abbreviation_resolution_and_context():
+    from biomedical_entity_linking_ray.stages.extraction import (
+        attach_context_windows, extract_spans, resolve_abbreviations,
+    )
+
+    docs = rd.from_items([
+        {"doc_id": 7, "text": "the fast scan uses a hash table for the scan"},
+    ])
+    spans = extract_spans(docs, ["scan", "hash"], concurrency=1)
+    resolved = resolve_abbreviations(
+        spans, {7: {"scan": "sequential scan"}}).to_pandas()
+    assert set(resolved[resolved["term"] == "scan"]["term_resolved"]) == {"sequential scan"}
+    assert set(resolved[resolved["term"] == "hash"]["term_resolved"]) == {"hash"}
+
+    ctx = attach_context_windows(spans, docs, window=2).to_pandas().sort_values("start")
+    first_scan = ctx.iloc[0]
+    assert first_scan["ctx_left"] == "the fast"
+    assert first_scan["ctx_right"] == "uses a"
+
+
+def test_entity_description_builder(tmp_path):
+    from biomedical_entity_linking_ray.sources.readers import read_medic_table
+    from biomedical_entity_linking_ray.stages.extraction import build_entity_descriptions
+
+    (tmp_path / "m.tsv").write_text(
+        "Asthma\tMESH:D001249\t\tA chronic disease\tAsthma, Bronchial|Asthmas\n")
+    ents = read_medic_table(str(tmp_path / "m.tsv"))
+    df = build_entity_descriptions(ents).to_pandas()
+    assert df.iloc[0]["description_text"] == \
+        "Asthma (Asthma, Bronchial, Asthmas) [A chronic disease]"
+
+
 def test_per_lang_f1_breakdown(small_corpus, linkage_result):
     from biomedical_entity_linking_ray.stages.evaluation import pairwise_f1_by_group
 
