@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_flag_sequences": relational.order_flag_sequences,
         "order_stats": relational.order_stats,
         "top_order_per_customer": relational.top_order_per_customer,
+        "user_sessions": relational.user_sessions,
+        "event_props_k": relational.event_props_k,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "quality_scores": text_analysis.quality_scores,

@@ -36,13 +36,16 @@ def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+def exact_dedup(sf_dir: str, broadcast_max: int = 500_000) -> "ray.data.Dataset":
     """(doc_id, canonical_id): canonical = min doc_id among identical texts.
 
     Pattern: vectorized sha256 inside map_batches, then ONE groupby-min on the
-    hash (hash-partition + per-group first) joined back -- no text moves
-    through the shuffle, only (sha, id).
-    """
+    hash (hash-partition + per-group first) attached back -- no text moves
+    through the shuffle, only (sha, id). The canonical map is broadcast while
+    it fits (worker-cached dict, no join actor fleet); hash join beyond."""
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast, hash_join
 
     def add_sha(t: pa.Table) -> pa.Table:
         shas = [content_sha_of(s) for s in t["text"].to_pylist()]
@@ -50,10 +53,22 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 
     keyed = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_sha, batch_format="pyarrow", batch_size=4096
-    )
-    canon = keyed.groupby("sha").aggregate(Min("doc_id", alias_name="canonical_id"))
-    from biomedical_entity_linking_ray.functions.joins import hash_join
+    ).materialize()  # branch-consumed: canon aggregate + attach
+    canon = keyed.groupby("sha").aggregate(
+        Min("doc_id", alias_name="canonical_id")).materialize()
+    if canon.count() <= broadcast_max:
+        ref = _ray.put(canon.to_pandas())
 
+        def attach(t: pa.Table) -> pa.Table:
+            m = cached_broadcast(
+                ref, lambda df: dict(zip(df["sha"], df["canonical_id"])))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "canonical_id": pa.array(
+                    [m[s] for s in t["sha"].to_pylist()], pa.int64()),
+            })
+
+        return keyed.map_batches(attach, batch_format="pyarrow")
     return hash_join(keyed, canon, "inner", 8, on=("sha",)).select_columns(
         ["doc_id", "canonical_id"]
     )

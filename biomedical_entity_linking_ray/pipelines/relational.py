@@ -400,6 +400,66 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# streaming-shaped: session windows (gap-based, per user)
+# ---------------------------------------------------------------------------
+
+def user_sessions(
+    sf_dir: str, gap_minutes: int = 30, n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(user_id, session_id, n_events, sum_value, session_start, session_end):
+    consecutive events of a user closer than `gap_minutes` share a session.
+
+    The gap rule needs per-user ORDER, not global order: users are
+    hash-bucketed (one shuffle, bounded group count) and each bucket does one
+    vectorized sort + shift/cumsum sessionization + groupby aggregate."""
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy().astype(np.uint64)
+        b = (hashing.splitmix64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = ((g["ts"] - g["ts"].shift()) > gap) & ~new_user
+        g["session_id"] = brk.groupby(g["user_id"]).cumsum().astype(np.int64)
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("event_id", "size"), sum_value=("value", "sum"),
+            session_start=("ts", "min"), session_end=("ts", "max"))
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=65536) \
+        .groupby("__bucket").map_groups(sess, batch_format="pandas")
+    return _round_cols(ds, ["sum_value"])
+
+
+# ---------------------------------------------------------------------------
+# scalar JSON extraction (SURVEY.md 2.9: json load/dump everywhere)
+# ---------------------------------------------------------------------------
+
+def event_props_k(sf_dir: str) -> "ray.data.Dataset":
+    """(event_id, k): integer property extracted from the JSON `props` column
+    (reference: ujson-loaded dict fields throughout, e.g. abbreviations.json
+    bigbio_utils.py:57)."""
+    import json
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") for p in t["props"].to_pylist()]
+        return pa.table({
+            "event_id": t["event_id"],
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        extract, batch_format="pyarrow", batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
 # M12/M3 analog: predicate filter + projection pushed to the read
 # ---------------------------------------------------------------------------
 
@@ -533,6 +593,30 @@ SQL: dict[str, str] = {
         SELECT l_orderkey,
                string_agg(l_returnflag, '|' ORDER BY first_rn) AS flag_seq
         FROM f GROUP BY l_orderkey
+    """,
+    "user_sessions": """
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM o
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+    """,
+    "event_props_k": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
     """,
     "high_value_lineitems": """
         SELECT l_orderkey, l_linenumber,

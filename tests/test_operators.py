@@ -43,7 +43,7 @@ def _assert_matches_oracle(name: str, con):
     "quality_scores", "language_id", "dictionary_extract",
     "embedding_near_dup", "knn_label_recall", "part_returnflag_sets",
     "orders_sample", "order_flag_sequences", "ngram_jaccard_exact",
-    "order_stats", "top_order_per_customer",
+    "order_stats", "top_order_per_customer", "user_sessions", "event_props_k",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
