@@ -50,6 +50,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         text_analysis,
     )
 
+    def _doc_embeddings(sf_dir: str):
+        from biomedical_entity_linking_ray.stages.encoding import embed_documents_pipeline
+
+        return embed_documents_pipeline(sf_dir)
+
     def linkage_assignments(sf_dir: str):
         return _linkage_result(sf_dir).assignments
 
@@ -94,7 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         "knn_label_recall": similarity.label_recall_at_k,
+        # --- warm-encoder actor pool (documents -> embedding table) ---
+        "doc_embeddings": _doc_embeddings,
         # --- multimodal plumbing (binary payload -> actor-pool decode) ---
         "image_features": multimodal.image_feature_pipeline,
         # --- flagship linkage (no SQL oracle: synthetic files table) ---

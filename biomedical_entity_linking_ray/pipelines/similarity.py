@@ -108,6 +108,88 @@ def knn_bruteforce(
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def knn_ivf(
+    sf_dir: str, k: int = 5, n_queries: int = 16,
+    n_centroids: int = 16, nprobe: int = 4, kmeans_iters: int = 10,
+    train_rows: int = 2048,
+) -> "ray.data.Dataset":
+    """Approximate top-k via an IVF index expressed Ray-natively (reference
+    T3: FAISS IndexIVFFlat with nlist/nprobe, data_process.py:517-562).
+
+    Train: spherical k-means on a row-group-pruned sample, driver-side
+    (deterministic: first-rows init, fixed iteration count). Search: the
+    centroid matrix is broadcast once; each batch assigns its vectors to
+    their nearest centroid and scores a query only against vectors in the
+    query's `nprobe` nearest cells -- the inverted-list pruning -- followed
+    by the same distributed top-k merge as the exact path.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qids, Q = load_query_matrix(sf_dir, n_queries)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qu = (Q / qn).astype(np.float32)
+
+    # --- train (pruned sample; falls back to full read only if ids sparse) ---
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", train_rows)])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    xn[xn == 0] = 1.0
+    X = X / xn
+    C = X[:n_centroids].copy()  # deterministic init: first rows
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            m = X[assign == c]
+            if len(m):
+                v = m.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    q_probes = np.argsort(-(Qu @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    bc = ray.put((qids, Qu, C, q_probes))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, Qu_, C_, qp = ray.get(bc)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        Vu = V / vn
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        cid = np.argmax(Vu @ C_.T, axis=1)                    # (n,)
+        cand_mask = (qp[:, :, None] == cid[None, None, :]).any(axis=1)
+        sims = Qu_ @ Vu.T
+        sims[~cand_mask] = -2.0
+        kk = min(k, ids.size)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            order = np.lexsort((ids, -sims[qi]))[:kk]
+            for j in order:
+                if sims[qi, j] > -2.0:
+                    out_q.append(int(qids_[qi]))
+                    out_v.append(int(ids[j]))
+                    out_s.append(float(sims[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=4096
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def label_recall_at_k(
     sf_dir: str, ks: tuple = (1, 3, 5), n_queries: int = 16,
 ) -> "pa.Table":

@@ -1,0 +1,91 @@
+"""Warm-state document encoder actor pool (reference T5-T7).
+
+The reference's encoder stages load a BERT-family model once per worker and
+batch-encode mentions/entities (embed_and_index, data_process.py:565-684;
+krissbert generate_vectors, usage/utils.py:450-501; sapbert embed_dense,
+model_wrapper.py:169-233). No transformer ships in this container, so the
+model here is a deterministic hashed-TF -> random-projection encoder: the
+projection matrix IS real per-actor state -- built once in ``__init__`` from
+a seed (the "model load"), applied per batch as one matmul. The pipeline
+shape (actor pool, batch size, encode -> parquet embedding table -> k-NN
+over it) is exactly the reference's embed-and-index flow; swapping the
+matrix for real model weights changes nothing else.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from biomedical_entity_linking_ray.functions import hashing, strings
+
+
+class DocEncoder:
+    """Actor-pool callable: encoder state built once per actor.
+
+    State: seeded Gaussian projection (tf_dim x out_dim, orthonormalized) --
+    the stand-in for model weights. __call__ hashes content to a TF vector
+    and projects it; output embeddings are L2-normalized float32 lists.
+    """
+
+    def __init__(self, tf_dim: int = 256, out_dim: int = 64,
+                 shingle_k: int = 4, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        m = rng.randn(tf_dim, out_dim)
+        q, _ = np.linalg.qr(m)  # orthonormal columns: distance-preserving
+        self.proj = q.astype(np.float32)
+        self.tf_dim = tf_dim
+        self.shingle_k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        tf = np.empty((n, self.tf_dim), dtype=np.float32)
+        for i, s in enumerate(texts):
+            sh = hashing.char_shingle_hashes(
+                strings.normalize_content(s), self.shingle_k, 4096)
+            tf[i] = hashing.hashed_tf_vector(sh, self.tf_dim)
+        emb = tf @ self.proj  # one matmul per batch -- the batched encode
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        emb = (emb / nrm).astype(np.float32)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "embedding": pa.array([row.tolist() for row in emb],
+                                  pa.list_(pa.float32())),
+        })
+
+
+def encode_documents(
+    docs: "ray.data.Dataset",
+    out_dim: int = 64,
+    concurrency: int | None = None,
+    batch_size: int = 512,
+) -> "ray.data.Dataset":
+    """docs(doc_id, text) -> (doc_id, embedding list<float32>) via the warm
+    encoder actor pool."""
+    from biomedical_entity_linking_ray.stages.normalize import pool_size
+
+    return docs.map_batches(
+        DocEncoder,
+        fn_constructor_kwargs={"out_dim": out_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency or 4),
+    )
+
+
+def embed_documents_pipeline(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
+    """documents -> encoder actor pool -> embedding table (optionally written
+    as partitioned parquet -- the reference's embedding cache, T8)."""
+    import os
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    emb = encode_documents(docs)
+    if out_dir is not None:
+        emb.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    return emb

@@ -198,6 +198,33 @@ def test_per_cluster_mst(linkage_result):
     assert (forest["id_b"].map(assign) == forest["cluster_id"]).all()
 
 
+def test_knn_ivf_self_retrieval():
+    from biomedical_entity_linking_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    ap = knn_ivf(SF_DIR, k=3, n_queries=8).to_pandas()
+    # a query's own vector shares its cell, and its top probe IS that cell
+    r1 = ap[ap["rank"] == 1]
+    assert (r1["query_id"].values == r1["vec_id"].values).all()
+    bf = knn_bruteforce(SF_DIR, k=3, n_queries=8).to_pandas()
+    assert len(ap) <= len(bf)  # pruning never invents results
+
+
+def test_doc_encoder_warm_state(tmp_path):
+    from biomedical_entity_linking_ray.stages.encoding import embed_documents_pipeline
+
+    out = str(tmp_path / "emb")
+    df = embed_documents_pipeline(SF_DIR, out_dir=out).to_pandas().sort_values("doc_id")
+    assert len(df) == 500
+    v = np.array(df["embedding"].tolist(), dtype=np.float32)
+    assert v.shape[1] == 64
+    n = np.linalg.norm(v, axis=1)
+    assert np.allclose(n[n > 0], 1.0, atol=1e-4)  # unit embeddings
+    # determinism across a fresh pool (seeded projection = the model weights)
+    df2 = embed_documents_pipeline(SF_DIR).to_pandas().sort_values("doc_id")
+    v2 = np.array(df2["embedding"].tolist(), dtype=np.float32)
+    assert np.allclose(v, v2, atol=1e-6)
+
+
 def test_label_recall_monotone():
     from biomedical_entity_linking_ray.pipelines.similarity import label_recall_at_k
 
