@@ -52,6 +52,7 @@ def within_key_pairs(
     all_pairs_max: int = 64,
     window: int = 8,
     join_partitions: int = 8,
+    broadcast_keys_max: int = 2_000_000,
 ) -> "ray.data.Dataset":
     emit = emit or default_emit(key_col, id_col)
 
@@ -63,8 +64,28 @@ def within_key_pairs(
         [key_col], {"cnt": ("one", "sum")},
         n_buckets=n_coarse,
     )
-    multi = counts.filter(expr="cnt >= 2").select_columns([key_col])
-    rows = hash_join(rows, multi, "left_semi", join_partitions, on=(key_col,))
+    multi = counts.filter(expr="cnt >= 2").select_columns([key_col]).materialize()
+    n_multi = multi.count()
+    if n_multi == 0:
+        # no key has two members: every row drops, types preserved
+        rows = rows.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    elif n_multi <= broadcast_keys_max:
+        # broadcast the multi-member key set: vectorized is_in per batch, no
+        # semi-join aggregator fleet (hash join beyond the bound)
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+        keys_ref = _ray.put(pa.array(multi.to_pandas()[key_col]))
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = cached_broadcast(keys_ref)
+            return t.filter(pc.is_in(t[key_col], value_set=ks))
+
+        rows = rows.map_batches(semi, batch_format="pyarrow")
+    else:
+        rows = hash_join(rows, multi, "left_semi", join_partitions, on=(key_col,))
 
     def add_coarse(t: pa.Table) -> pa.Table:
         h = hashing.fnv1a_fixed(t[key_col].to_numpy(zero_copy_only=False), width=96)

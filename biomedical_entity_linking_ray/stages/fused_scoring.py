@@ -78,7 +78,14 @@ def dedup_blocks_by_memberset(
         {"block_key": ("block_key", "min")},
         n_buckets=P * 4,
     ).select_columns(["block_key"]).materialize()
-    if rep_keys.count() <= cfg.broadcast_side_max:
+    n_keys = rep_keys.count()
+    if n_keys == 0:
+        # every block is a singleton (e.g. all-distinct corpus): nothing to
+        # score -- emit a typed empty block table (an empty to_pandas() would
+        # be column-less)
+        return ray.data.from_arrow(pa.schema(
+            [("block_key", pa.string()), ("file_id", pa.string())]).empty_table())
+    if n_keys <= cfg.broadcast_side_max:
         import pyarrow.compute as pc
 
         keys_ref = _ray.put(pa.array(rep_keys.to_pandas()["block_key"], pa.string()))

@@ -225,6 +225,34 @@ def test_doc_encoder_warm_state(tmp_path):
     assert np.allclose(v, v2, atol=1e-6)
 
 
+def test_degenerate_rows_linkage():
+    """Verify-skill probes as a regression test: empty contents collapse to
+    ONE cluster via exact contraction; unicode and oversized rows survive;
+    every input row gets exactly one assignment."""
+    import pyarrow as pa
+
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+
+    rows = {
+        "repo": ["r/a", "r/b", "r/c", "r/u", "r/h", "r/n"],
+        "path": ["x/empty1.py", "y/empty2.py", "z/empty3.py",
+                 "u/unicode.py", "h/huge.py", "n/normal.py"],
+        "commit": [f"{i:040x}" for i in range(6)],
+        "lang": ["python"] * 6,
+        "content": ["", "", "", "def f():\n    return 'é中文\U0001f600'",
+                    "x = 1\n" * 200_000, "def g():\n    return 42"],
+    }
+    files = rd.from_arrow(pa.table(rows))
+    res = run_linkage(files, LinkageConfig(join_partitions=4, scorer_concurrency=2),
+                      feature_concurrency=2)
+    df = res.assignments.to_pandas()
+    assert len(df) == 6
+    empties = df[df["path"].str.contains("empty")]
+    assert empties["cluster_id"].nunique() == 1  # one cluster via contraction
+    assert df["file_id"].nunique() == 6
+
+
 def test_label_recall_monotone():
     from biomedical_entity_linking_ray.pipelines.similarity import label_recall_at_k
 
