@@ -103,8 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_recall": similarity.label_recall_at_k,
         # --- warm-encoder actor pool (documents -> embedding table) ---
         "doc_embeddings": _doc_embeddings,
-        # --- multimodal plumbing (binary payload -> actor-pool decode) ---
+        # --- multimodal (real stdlib codecs: PNG/PPM, WAV, framed clips) ---
         "image_features": multimodal.image_feature_pipeline,
+        "audio_features": multimodal.audio_feature_pipeline,
+        "video_frames": multimodal.video_frame_pipeline,
         # --- flagship linkage (no SQL oracle: synthetic files table) ---
         "linkage_assignments": linkage_assignments,
         "linkage_cluster_sizes": linkage_cluster_sizes,

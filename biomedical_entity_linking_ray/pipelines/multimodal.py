@@ -255,6 +255,170 @@ def decode_images(
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio: real WAV (PCM16) codec via the stdlib `wave` module
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib wave writer)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 mono samples, sample_rate). Real RIFF/PCM decode."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16")
+        frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        if w.getnchannels() > 1:
+            frames = frames.reshape(-1, w.getnchannels()).mean(axis=1).astype(np.int16)
+        return frames, w.getframerate()
+
+
+def synthesize_audio_payloads(
+    docs: "ray.data.Dataset", rate: int = 8000, seed: int = 42,
+) -> "ray.data.Dataset":
+    """Attach a real WAV binary column: deterministic per-row sine + noise."""
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def attach(t: pa.Table) -> pa.Table:
+        payloads = []
+        for i in t["doc_id"].to_pylist():
+            hv = hashing.splitmix64(
+                np.array([np.uint64(i) ^ np.uint64(seed)], dtype=np.uint64))[0]
+            n = rate // 4 + int(hv % np.uint64(rate // 2))  # 0.25-0.75 s
+            freq = 100 + int((hv >> np.uint64(16)) % np.uint64(800))
+            rng = np.random.RandomState(int(hv % np.uint64(2**31)))
+            x = (6000 * np.sin(2 * np.pi * freq * np.arange(n) / rate)
+                 + rng.randint(-500, 500, n)).astype(np.int16)
+            payloads.append(wav_encode(x, rate))
+        return t.append_column("audio", pa.array(payloads, pa.binary()))
+
+    return docs.map_batches(attach, batch_format="pyarrow", batch_size=256)
+
+
+class AudioFeatures:
+    """Actor-pool codec: real WAV decode + duration / RMS / zero-crossing
+    features (the audio analog of the image decode stage)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dur, rms, zcr = [], [], []
+        for payload in t["audio"].to_pylist():
+            x, rate = wav_decode(payload)
+            xf = x.astype(np.float64)
+            dur.append(len(x) / rate)
+            rms.append(float(np.sqrt(np.mean(xf * xf))) if len(x) else 0.0)
+            zc = np.count_nonzero(np.diff(np.signbit(xf))) / max(len(x) - 1, 1)
+            zcr.append(float(zc))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "duration_sec": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zero_crossing_rate": pa.array(zcr, pa.float64()),
+        })
+
+
+def audio_feature_pipeline(sf_dir: str) -> "ray.data.Dataset":
+    """documents -> real WAV payloads -> actor-pool decode -> audio features."""
+    import os
+
+    from biomedical_entity_linking_ray.stages.normalize import pool_size
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return synthesize_audio_payloads(docs).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=pool_size(4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video-shaped: multi-frame payloads + frame sampling
+# ---------------------------------------------------------------------------
+
+def sample_frames(
+    with_clips: "ray.data.Dataset", every_k: int = 2, concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """Clip payloads (concatenated PNG frames, length-prefixed) -> one row per
+    SAMPLED frame (every k-th, frame 0 always kept) with decoded features --
+    the frame-sampling stage of a video pipeline; each kept frame goes
+    through the real PNG decoder."""
+    import struct as _struct
+
+    from biomedical_entity_linking_ray.stages.normalize import pool_size
+
+    def sampler(t: pa.Table) -> pa.Table:
+        doc_ids, fidx, means = [], [], []
+        for doc_id, clip in zip(t["doc_id"].to_pylist(), t["clip"].to_pylist()):
+            pos, i = 0, 0
+            while pos + 4 <= len(clip):
+                ln = _struct.unpack("<I", clip[pos:pos + 4])[0]
+                frame = clip[pos + 4:pos + 4 + ln]
+                if i % every_k == 0:
+                    arr = png_decode(frame)
+                    doc_ids.append(doc_id)
+                    fidx.append(i)
+                    means.append(float(arr.mean()))
+                pos += 4 + ln
+                i += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "pixel_mean": pa.array(means, pa.float64()),
+        })
+
+    return with_clips.map_batches(
+        sampler, batch_format="pyarrow", batch_size=32,
+        concurrency=pool_size(concurrency or 4),
+    )
+
+
+def synthesize_clip_payloads(
+    docs: "ray.data.Dataset", n_frames: int = 6, side: int = 16, seed: int = 42,
+) -> "ray.data.Dataset":
+    """Attach a clip column: `n_frames` real PNG frames, length-prefixed."""
+    import struct as _struct
+
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def attach(t: pa.Table) -> pa.Table:
+        clips = []
+        for i in t["doc_id"].to_pylist():
+            hv = hashing.splitmix64(
+                np.array([np.uint64(i) ^ np.uint64(seed)], dtype=np.uint64))[0]
+            rng = np.random.RandomState(int(hv % np.uint64(2**31)))
+            parts = []
+            for _ in range(n_frames):
+                arr = rng.randint(0, 256, size=(side, side, 3), dtype=np.uint8)
+                f = png_encode(arr, 0)
+                parts.append(_struct.pack("<I", len(f)) + f)
+            clips.append(b"".join(parts))
+        return t.append_column("clip", pa.array(clips, pa.binary()))
+
+    return docs.map_batches(attach, batch_format="pyarrow", batch_size=64)
+
+
+def video_frame_pipeline(sf_dir: str, every_k: int = 2) -> "ray.data.Dataset":
+    """documents -> multi-frame clip payloads -> frame sampling + decode."""
+    import os
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return sample_frames(synthesize_clip_payloads(docs), every_k=every_k)
+
+
 def image_feature_pipeline(sf_dir: str) -> "ray.data.Dataset":
     """documents -> real PPM/PNG payloads -> actor-pool decode -> features.
 

@@ -128,6 +128,32 @@ def test_multimodal_decode_roundtrip():
     )
 
 
+def test_audio_features_real_wav():
+    from biomedical_entity_linking_ray.pipelines.multimodal import (
+        audio_feature_pipeline, wav_decode, wav_encode,
+    )
+
+    x = (np.sin(np.arange(4000) / 10) * 8000).astype(np.int16)
+    y, rate = wav_decode(wav_encode(x, 8000))
+    assert rate == 8000 and np.array_equal(x, y)  # lossless PCM round trip
+
+    df = audio_feature_pipeline(SF_DIR).to_pandas()
+    assert len(df) == 500
+    assert df["duration_sec"].between(0.2, 0.8).all()
+    assert (df["rms"] > 0).all()
+    assert df["zero_crossing_rate"].between(0, 1).all()
+
+
+def test_video_frame_sampling():
+    from biomedical_entity_linking_ray.pipelines.multimodal import video_frame_pipeline
+
+    df = video_frame_pipeline(SF_DIR, every_k=2).to_pandas()
+    # 6 frames per clip, every 2nd kept -> frames {0, 2, 4} per doc
+    per_doc = df.groupby("doc_id")["frame_idx"].apply(list)
+    assert all(sorted(v) == [0, 2, 4] for v in per_doc)
+    assert df["pixel_mean"].between(0, 255).all()
+
+
 def test_image_codecs_roundtrip():
     """PNG (all encode filters) and PPM codecs are real and lossless."""
     from biomedical_entity_linking_ray.pipelines import multimodal as M
