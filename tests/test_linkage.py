@@ -83,6 +83,31 @@ def test_canonical_is_min_member(linkage_result):
     assert (mins.index == mins.values).all()  # cluster_id IS the min file_id
 
 
+def test_scale_paths_match_broadcast_paths(small_corpus, linkage_result):
+    """Force every beyond-bound branch -- partitioned hash joins for the
+    contract/memberset/enrich sides, join-based label attach, distributed
+    label propagation instead of driver union-find -- and require byte-equal
+    assignments. This is the 10^12-scale code path, which broadcasts would
+    otherwise always shadow at test scale."""
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+
+    cfg_scale = LinkageConfig(
+        salt_cap=32, join_partitions=4, scorer_concurrency=2,
+        broadcast_side_max=0, broadcast_labels_max=0, driver_cc_max_edges=0,
+    )
+    files = rd.from_arrow(small_corpus.files)
+    res_scale = run_linkage(files, cfg_scale, feature_concurrency=2)
+    a = res_scale.assignments.to_pandas().sort_values("file_id").reset_index(drop=True)
+
+    _, res_bcast = linkage_result  # default config: broadcast paths
+    b = res_bcast.assignments.to_pandas().sort_values("file_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["file_id", "cluster_id", "canonical_id", "content_sha"]],
+        b[["file_id", "cluster_id", "canonical_id", "content_sha"]],
+    )
+
+
 def test_salting_preserves_connectivity(small_corpus):
     """Tiny salt cap forces many sub-blocks; hot family must stay one cluster."""
     from biomedical_entity_linking_ray.config import LinkageConfig

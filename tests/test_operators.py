@@ -86,6 +86,38 @@ def test_minhash_estimates_match_exact_jaccard():
     assert (est["id_a"] < est["id_b"]).all()
 
 
+def test_minhash_recalls_planted_duplicates(tmp_path):
+    """Planted ground truth the sketch cannot miss: identical texts share
+    every band (estimate exactly 1.0), light paraphrases co-block above
+    threshold, and unrelated texts never pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.dedup import minhash_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    # disjoint vocabulary per unique doc so cross-doc Jaccard is ~0
+    uniq = [" ".join(rng.choice([f"w{d}_{j}" for j in range(8)], 60))
+            for d in range(10)]
+    words = ["table", "scan", "merge", "hash", "batch", "row", "value", "agg"]
+    base = " ".join(rng.choice(words, 120))
+    near = base.replace("table", "tableX", 2)  # light edit
+    texts = uniq + [base, base, base, near]    # ids 10,11,12 exact; 13 near
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    mh = minhash_near_dup_pairs(str(tmp_path), jaccard_threshold=0.5).to_pandas()
+    found = set(zip(mh["id_a"], mh["id_b"]))
+    assert {(10, 11), (10, 12), (11, 12)} <= found, found
+    exact = mh.set_index(["id_a", "id_b"]).loc[[(10, 11), (10, 12), (11, 12)]]
+    assert (exact["jaccard_est"] == 1.0).all()
+    assert any(a == 13 or b == 13 for a, b in found)  # near-dup co-blocks
+    # unrelated unique docs never pair with the planted family
+    assert not any((a < 10) != (b < 10) for a, b in found)
+
+
 def test_simhash_pairs_symmetric_and_bounded():
     from biomedical_entity_linking_ray.pipelines.dedup import simhash_near_dup_pairs
 
