@@ -108,6 +108,23 @@ def test_scale_paths_match_broadcast_paths(small_corpus, linkage_result):
     )
 
 
+def test_standalone_scorer_matches_fused(small_corpus, linkage_result):
+    """The un-fused building blocks (generate_pairs -> attach_pair_features
+    -> PairScorer actor pool -- the crossencoder-analog path for model-heavy
+    scorers, T10) must produce the same pair set with the same float scores
+    as the fused in-block path the flagship uses."""
+    from biomedical_entity_linking_ray.stages import blocking, scoring
+
+    cfg, res = linkage_result
+    pairs = blocking.generate_pairs(res.block_rows, cfg)
+    scored2 = scoring.score_pairs(
+        blocking.attach_pair_features(pairs, res.reps, cfg), cfg, concurrency=2)
+    cols = ["id_a", "id_b", "score_jw", "score_jaccard", "score_cosine", "score"]
+    a = res.scored_pairs.to_pandas()[cols].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = scored2.to_pandas()[cols].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, atol=1e-12)
+
+
 def test_salting_preserves_connectivity(small_corpus):
     """Tiny salt cap forces many sub-blocks; hot family must stay one cluster."""
     from biomedical_entity_linking_ray.config import LinkageConfig
