@@ -29,7 +29,7 @@ def _read_embeddings(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def load_query_matrix(sf_dir: str, n_queries: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+def load_query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic queries: the first `n_queries` vectors of the table itself
     (self-retrieval benchmark -- rank-1 hit must be the vector's own id).
 
