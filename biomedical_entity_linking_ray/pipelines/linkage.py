@@ -169,33 +169,42 @@ def run_linkage(
     if empty_blocks:
         scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
         stars = scored
+        cc_edges = scored
     elif ckpt is not None and ckpt.is_complete("s4_scored") and ckpt.is_complete("s5_stars"):
         scored = ckpt.read_stage("s4_scored")
         stars = ckpt.read_stage("s5_stars")
+        cc_edges = stars
     else:
         blocks_dd = fused_scoring.dedup_blocks_by_memberset(block_rows, cfg)
         if n_reps <= cfg.broadcast_side_max:
             feats_ref = ray.put(
                 reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
                 .to_pandas())
-            scored, stars = fused_scoring.score_blocks(
+            scored, stars, stars_raw = fused_scoring.score_blocks(
                 blocks_dd, cfg, feats_ref=feats_ref)
         else:
             enriched = fused_scoring.enrich_block_rows(blocks_dd, reps, cfg)
-            scored, stars = fused_scoring.score_blocks(enriched, cfg)
+            scored, stars, stars_raw = fused_scoring.score_blocks(enriched, cfg)
         if ckpt is not None:
             scored = ckpt.write_stage(
                 "s4_scored", scored.materialize(), {"pairs_scored": scored.count()})
             stars = ckpt.write_stage("s5_stars", stars, {})
+            cc_edges = stars  # resumable deduped artifact feeds CC
+        else:
+            # union-find ignores duplicate edges, so CC reads the raw star
+            # stream and the dedup shuffle never runs on the critical path
+            # (clustering re-dedups itself if the list needs the actor path);
+            # the deduped `stars` stays lazy for star_edges consumers
+            cc_edges = stars_raw
         # non-ckpt: BOTH outputs stay lazy over the tagged table score_blocks
-        # pins internally -- clustering pulls stars through its own skinny
+        # pins internally -- clustering pulls its edges through its own skinny
         # materialize, and the scored-pair dedup shuffle (not on the critical
         # path to assignments) runs only for consumers reading scored_pairs
     if _timing:
         print(f"[stage s4/s5 score] {_time.time() - _t0:.2f}s", flush=True)
 
     rep_assign = persist("s6_clusters", lambda: (
-        clustering.connected_components(stars, reps, cfg), {}))
+        clustering.connected_components(cc_edges, reps, cfg), {}))
 
     # members inherit their representative's cluster; members already carry
     # the lineage columns (content_sha, repo, path, commit, lang) from

@@ -105,42 +105,51 @@ def strip_salt(key: str) -> str:
 
 def salt_hot_keys(block_rows: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.Dataset":
     """Split any block key with > salt_cap rows into salted `key#<salt>`
-    sub-blocks (deterministic id-hash) with ring-overlap bridge rows."""
+    sub-blocks (deterministic id-hash) with ring-overlap bridge rows.
+
+    (Singleton keys are NOT pruned here: an experiment that dropped them via
+    the same per-key counts added a counts materialization + a keep-set scan
+    and saved nothing downstream -- the streaming executor already overlaps
+    the memberset-dedup shuffle, whose cnt >= 2 filter is where singletons
+    die, with the scoring stage.)"""
     counts = keyed_counts(block_rows, "block_key")
     hot_tbl = counts.filter(expr=f"cnt > {cfg.salt_cap}").to_pandas()
     if len(hot_tbl) == 0:
         return block_rows
     hot = {k: int(math.ceil(c / cfg.salt_cap)) for k, c in zip(hot_tbl["block_key"], hot_tbl["cnt"])}
-    hot_ref = ray.put(hot)
+    hot_ref = ray.put((hot, pa.array(list(hot), pa.string())))
     bridge_rate = cfg.bridge_rate
 
     def apply_salt(batch: pa.Table) -> pa.Table:
-        hot_map = ray.get(hot_ref)  # zero-copy shared read per task, not per batch
-        keys = pd.Series(batch["block_key"].to_pylist())
-        fids = pd.Series(batch["file_id"].to_pylist())
-        nsalt = keys.map(hot_map).to_numpy(dtype=np.float64, na_value=np.nan)
-        hot = ~np.isnan(nsalt)
-        if not hot.any():
+        import pyarrow.compute as pc
+
+        hot_map, hot_keys = ray.get(hot_ref)  # zero-copy shared read per task
+        # cold rows (the overwhelming majority) never leave Arrow: one
+        # vectorized membership test, zero-copy pass-through when clean
+        mask = pc.is_in(batch["block_key"], value_set=hot_keys)
+        if not pc.any(mask).as_py():
             return batch
-        # vectorized salting of the hot rows only (cold rows pass through)
-        hk = keys[hot].to_numpy()
-        hf = fids[hot].to_numpy()
-        ns = nsalt[hot].astype(np.uint64)
+        cold = batch.filter(pc.invert(mask))
+        hotb = batch.filter(mask)
+        hk = hotb["block_key"].to_numpy(zero_copy_only=False)
+        hf = hotb["file_id"].to_numpy(zero_copy_only=False)
+        ns = pd.Series(hk).map(hot_map).to_numpy(dtype=np.uint64)
         h = hashing.fnv1a_fixed(hf, width=64)
         s = h % ns
         salted = np.char.add(np.char.add(hk.astype("U"), "#"), s.astype("U"))
-        out_keys = [keys[~hot].to_numpy(), salted]
-        out_fids = [fids[~hot].to_numpy(), hf]
+        out_keys = [salted]
+        out_fids = [hf]
         bridge = (h >> np.uint64(32)) % np.uint64(bridge_rate) == 0  # ring overlap
         if bridge.any():
             s2 = (s[bridge] + np.uint64(1)) % ns[bridge]
             out_keys.append(np.char.add(np.char.add(hk[bridge].astype("U"), "#"),
                                         s2.astype("U")))
             out_fids.append(hf[bridge])
-        return pa.table({
+        salted_tbl = pa.table({
             "block_key": pa.array(np.concatenate(out_keys).astype("U"), pa.string()),
             "file_id": pa.array(np.concatenate(out_fids).astype("U"), pa.string()),
         })
+        return pa.concat_tables([cold, salted_tbl])
 
     return block_rows.map_batches(apply_salt, batch_format="pyarrow", batch_size=cfg.batch_size)
 

@@ -145,10 +145,19 @@ def connected_components(
     if 0 < n_edges <= cfg.driver_cc_max_edges:
         return _driver_union_find(skinny, nodes, cfg)
 
+    # Beyond the driver bound the edge list may still carry cross-block
+    # duplicates (the flagship feeds the raw star stream here precisely
+    # because union-find absorbs them for free); the partition actors hold
+    # adjacency resident, so dedup IS worth one bucketed shuffle before
+    # ingestion at this scale.
+    from biomedical_entity_linking_ray.functions.groups import bucketed_distinct
+
+    skinny = bucketed_distinct(skinny, ["id_a", "id_b"], n_buckets=P * 4)
+
     # Only nodes that touch an edge can change label -- restrict the iteration
     # to them (typically a small fraction of the corpus); singletons are
     # emitted directly with label = self at the end.
-    e_bi = _bidirect(edges).materialize()
+    e_bi = _bidirect(skinny).materialize()
     has_edges = e_bi.count() > 0
     if has_edges:
         # Pregel-style partition actors: the static edge list is ingested ONCE
