@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
+        # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
+        # rotated prefixes guarantees a shared bucket, so the LSH recall is
+        # exactly 1.0 and a full SQL oracle applies
+        "simhash_near_dup_exact": lambda sf_dir: dedup.simhash_near_dup_pairs(
+            sf_dir, max_hamming=3, prefix_bits=16),
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
         "embedding_near_dup": dedup.embedding_near_dup_exact,
@@ -262,8 +267,68 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ks.k, r.query_id
         ) GROUP BY k
     """
-    # doc_fingerprints / minhash / simhash / ngram_jaccard / embedding LSH /
-    # knn_lsh / image_features / linkage_* are non-SQL-expressible (sketching,
-    # hyperplane LSH, stubbed codec, iterative clustering on a synthetic side
-    # table) -> rows-only checks.
+    # The winnowing fingerprint IS SQL-expressible: FNV-1a over each 32-char
+    # window via list_reduce (first list element seeds the accumulator with
+    # the FNV offset basis), HUGEINT modular arithmetic for uint64 wraparound,
+    # min across windows. Byte-exact vs `hashing.rolling_fingerprint` for
+    # ASCII text (the synthetic documents table is ASCII; `unicode()` ==
+    # byte value there). Short texts (< 32 chars) hash as one whole-text
+    # window on both sides.
+    out["doc_fingerprints"] = """
+        SELECT doc_id,
+          CAST(list_min(
+            [ list_reduce(
+                list_concat([14695981039346656037::HUGEINT],
+                  [unicode(text[i+j:i+j])::HUGEINT
+                   for j in range(0, least(length(text), 32))]),
+                (acc, b) -> ((xor(acc, b) * 1099511628211::HUGEINT)
+                             % 18446744073709551616::HUGEINT)
+              )
+              for i in range(1, greatest(length(text) - 31, 1) + 1) ]
+          ) AS UBIGINT) AS fingerprint
+        FROM documents
+    """
+    # SimHash in SQL: FNV-1a per token (list_reduce over its bytes, HUGEINT
+    # wraparound), then per-bit +/-1 majority over the token multiset, then
+    # all-pairs Hamming via bit_count(xor(...)). The Ray side's rotated-prefix
+    # LSH is pigeonhole-exact at (prefix_bits=16, rotations=4, max_hamming=3),
+    # so the approximate pipeline and the exhaustive SQL agree exactly.
+    out["simhash_near_dup_exact"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tk
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id,
+            list_reduce(
+              list_concat([14695981039346656037::HUGEINT],
+                [unicode(tk[j:j])::HUGEINT for j in range(1, length(tk) + 1)]),
+              (acc, b) -> ((xor(acc, b) * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT)
+            ) AS h
+          FROM tok
+        ),
+        bits AS (
+          SELECT doc_id, i.range AS i,
+                 SUM(CASE WHEN (h // (1::HUGEINT << i.range::INT)) % 2 = 1
+                     THEN 1 ELSE -1 END) AS acc
+          FROM th, range(64) i GROUP BY doc_id, i.range
+        ),
+        sh AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << i::INT)
+                     ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    # minhash / simhash (12-bit whp config) / ngram_jaccard (LSH) /
+    # embedding LSH / knn_lsh /
+    # knn_ivf / doc_embeddings / image, audio, video features / linkage_* are
+    # non-SQL-expressible (sketch-approximate by design, seeded projection
+    # state, synthetic codecs, iterative clustering) -> rows-only checks; each
+    # has an exact-counterpart oracle query or a pytest gold check instead.
     return out
