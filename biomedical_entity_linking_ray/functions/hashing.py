@@ -90,11 +90,16 @@ def char_shingle_hashes(text: str, k: int, max_shingles: int = 0) -> np.ndarray:
         b = np.zeros(1, dtype=np.uint8)
     if b.size < k:  # pad short docs so they still produce one shingle
         b = np.pad(b, (0, k - b.size))
-    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    # widen to uint64 ONCE; each window column is then a zero-copy view
+    # (the sliding_window_view + per-column astype variant paid a fresh
+    # widening copy per k, ~25% of the whole content scan)
+    b64 = b.astype(np.uint64)
+    n = b.size - k + 1
     with np.errstate(over="ignore"):
-        h = np.full(win.shape[0], _FNV_OFFSET, dtype=np.uint64)
+        h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
         for j in range(k):
-            h = (h ^ win[:, j].astype(np.uint64)) * _FNV_PRIME
+            h ^= b64[j:j + n]
+            h *= _FNV_PRIME
     if max_shingles and h.size > max_shingles:
         h = np.partition(h, max_shingles - 1)[:max_shingles]
     return h

@@ -60,14 +60,34 @@ def _driver_union_find(
     Ids are factorized to dense ints (vectorized) so the sequential union
     loop runs over numpy int arrays with path halving -- no per-edge dict
     lookups on 64-char strings."""
+    import os as _os
+    import time as _time
+
     import pandas as pd
 
+    _timing = bool(_os.environ.get("BEL_STAGE_TIMING"))
+    _t0 = _time.time()
     edf = skinny_edges.to_pandas()
+    if _timing:
+        print(f"  [s6.fetch] {len(edf)} edges {_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
     codes, uniques = pd.factorize(
         pd.concat([edf["id_a"], edf["id_b"]], ignore_index=True), sort=False)
     n = len(uniques)
     ea = codes[: len(edf)]
     eb = codes[len(edf):]
+    # The raw star stream still carries cross-batch duplicate edges (the
+    # per-batch Arrow distinct only strips co-located ones). Union-find is
+    # order-independent here -- every union roots at the min-rank member, so
+    # the component root is the min regardless of edge order -- which makes a
+    # vectorized undirected dedup safe and cuts the sequential loop to the
+    # unique edge count (~6x fewer at bench scale).
+    assert n < (1 << 32)
+    lo = np.minimum(ea, eb).astype(np.uint64)
+    hi = np.maximum(ea, eb).astype(np.uint64)
+    packed = np.unique((lo << np.uint64(32)) | hi)
+    ea = (packed >> np.uint64(32)).astype(np.int64)
+    eb = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
     # min-id root keeps canonical semantics: order ids so the lexicographically
     # smaller member of each union becomes the root
     uniq = uniques.to_numpy()
@@ -82,7 +102,9 @@ def _driver_union_find(
             x = parent[x]
         return x
 
-    for a, b in zip(ea, eb):
+    # plain-int iteration: indexing `parent` with Python ints skips the
+    # numpy-scalar boxing that dominates a sequential loop over arrays
+    for a, b in zip(ea.tolist(), eb.tolist()):
         ra, rb = find(a), find(b)
         if ra != rb:
             if rank[ra] <= rank[rb]:
@@ -90,10 +112,15 @@ def _driver_union_find(
             else:
                 parent[ra] = rb
     roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    if _timing:
+        print(f"  [s6.uf] n={n} {_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
     labels = ray.data.from_arrow(pa.table({
         "node": pa.array(uniq, pa.string()),
         "label": pa.array(uniq[roots], pa.string()),
     })).materialize()
+    if _timing:
+        print(f"  [s6.labels] {_time.time() - _t0:.2f}s", flush=True)
 
     clustered = labels.map_batches(
         lambda t: pa.table({
@@ -140,8 +167,22 @@ def connected_components(
     # (reference analog: scipy connected_components,
     # eval_cluster_linking.py:90-146); the distributed label propagation
     # below is the path that runs at 10^12 scale.
-    skinny = edges.select_columns(["id_a", "id_b"]).materialize()
+    # Per-batch LOCAL dedup (no shuffle): the flagship feeds the raw star
+    # stream here, whose cross-block duplicates usually co-occur inside one
+    # scoring output block -- a zero-copy Arrow distinct per batch strips most
+    # of them before anything is materialized or pulled to the driver.
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("BEL_STAGE_TIMING"))
+    _t0 = _time.time()
+    skinny = edges.select_columns(["id_a", "id_b"]).map_batches(
+        lambda t: t.group_by(["id_a", "id_b"]).aggregate([]),
+        batch_format="pyarrow",
+    ).materialize()
     n_edges = skinny.count()
+    if _timing:
+        print(f"  [s6.edges] {n_edges} rows {_time.time() - _t0:.2f}s", flush=True)
     if 0 < n_edges <= cfg.driver_cc_max_edges:
         return _driver_union_find(skinny, nodes, cfg)
 

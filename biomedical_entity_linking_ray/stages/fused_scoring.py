@@ -268,7 +268,8 @@ def score_blocks(
                 x = parent[x]
             return x
 
-        for a, b in zip(ia[passing], ib[passing]):
+        # plain-int iteration (tolist) skips numpy-scalar boxing in the loop
+        for a, b in zip(ia[passing].tolist(), ib[passing].tolist()):
             ra, rb = find(a), find(b)
             if ra != rb:
                 # union by min id keeps roots deterministic
