@@ -20,7 +20,32 @@ Nothing here calls ``ray.init()`` -- sessions are owned by the caller
 (driver / pytest fixture / bench.py).
 """
 
-from biomedical_entity_linking_ray.config import LinkageConfig
+def _tune_allocator() -> None:
+    """Raise glibc's mmap/trim thresholds so the multi-MB numpy temporaries
+    every batch kernel churns through are served from the REUSED brk heap
+    instead of fresh mmap regions (which glibc unmaps on free, so every
+    elementwise op re-pays ~1 page fault / 4 KB on the next batch; measured
+    5x on a-fnv-pass-sized arrays). Runs once per process at package import
+    -- Ray workers import this package when they deserialize any stage UDF.
+    Opt out with BEL_NO_MALLOC_TUNE=1. No-op off Linux/glibc.
+    """
+    import ctypes
+    import os
+    import sys
+
+    if os.environ.get("BEL_NO_MALLOC_TUNE") or not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 256 << 20)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 256 << 20)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_allocator()
+
+from biomedical_entity_linking_ray.config import LinkageConfig  # noqa: E402
 
 __all__ = ["LinkageConfig"]
 __version__ = "0.1.0"

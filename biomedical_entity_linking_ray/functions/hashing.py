@@ -121,6 +121,91 @@ def sample_shingles(h: np.ndarray, mod: int) -> np.ndarray:
     return s if s.size else h
 
 
+def shingle_hashes_batch(
+    texts: list[str], k: int, max_shingles: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched `char_shingle_hashes`: ONE sliding-window FNV pass over the
+    concatenation of all rows (k numpy ops total instead of k per row), then
+    per-row segment slicing. Returns (values, offsets) with `offsets` of
+    shape (n+1,); row i's shingle multiset is values[offsets[i]:offsets[i+1]].
+
+    Row-equivalent to calling char_shingle_hashes per row as a MULTISET
+    (element order within a row may differ; every consumer -- MinHash min,
+    mod-sampling, TF bincount -- is order-insensitive). Windows that would
+    cross a row boundary are simply not selected by the per-row slices.
+    """
+    encs = []
+    for s in texts:
+        e = s.encode("utf-8", "surrogatepass")
+        if len(e) < k:  # empty -> one zero byte, then pad: matches per-row
+            e = (e or b"\x00") + b"\x00" * (k - max(len(e), 1))
+        encs.append(e)
+    n = len(encs)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
+    b64 = buf.astype(np.uint64)
+    ng = buf.size - k + 1
+    with np.errstate(over="ignore"):
+        h = np.full(ng, _FNV_OFFSET, dtype=np.uint64)
+        for j in range(k):
+            h ^= b64[j:j + ng]
+            h *= _FNV_PRIME
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    nwin = lens - k + 1  # >= 1 per row by the padding above
+    segs = []
+    for i in range(n):
+        seg = h[starts[i]: starts[i] + nwin[i]]
+        if max_shingles and seg.size > max_shingles:
+            # KMV cap: smallest `max_shingles` values (linear-time partition)
+            seg = np.partition(seg, max_shingles - 1)[:max_shingles]
+        segs.append(seg)
+    counts = np.fromiter((s.size for s in segs), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return np.concatenate(segs), offs
+
+
+def sample_shingles_batch(
+    vals: np.ndarray, offs: np.ndarray, mod: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched `sample_shingles` over a (values, offsets) segment array:
+    global mod-p mask, per-row fallback to the full row when sampling would
+    empty it (same semantics as the per-row function)."""
+    if mod <= 1 or vals.size == 0:
+        return vals, offs
+    keep = vals % np.uint64(mod) == 0
+    counts = np.add.reduceat(keep.astype(np.int64), offs[:-1])
+    for r in np.flatnonzero(counts == 0):  # rare: tiny rows
+        keep[offs[r]: offs[r + 1]] = True
+        counts[r] = offs[r + 1] - offs[r]
+    new_offs = np.zeros(offs.size, dtype=np.int64)
+    np.cumsum(counts, out=new_offs[1:])
+    return vals[keep], new_offs
+
+
+def hashed_tf_batch(vals: np.ndarray, offs: np.ndarray, dim: int) -> np.ndarray:
+    """Batched `hashed_tf_vector`: one global mix + ONE bincount over flat
+    (row * dim + feature) indices, then row-wise L2 normalization. Produces
+    the same values as the per-row function (same scatter-add order within a
+    row, same norm)."""
+    n = offs.size - 1
+    if vals.size == 0:
+        return np.zeros((n, dim), dtype=np.float32)
+    mixed = splitmix64(vals)
+    idx = (mixed % np.uint64(dim)).astype(np.int64)
+    sign = np.where((mixed >> np.uint64(63)).astype(bool), -1.0, 1.0)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    v = np.bincount(row_ids * dim + idx, weights=sign, minlength=n * dim)
+    v = v.reshape(n, dim)
+    nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+    nrm[nrm == 0] = 1.0
+    v /= nrm[:, None]
+    return v.astype(np.float32)
+
+
 def token_hashes(text: str, lowercase: bool = True) -> np.ndarray:
     """64-bit hashes of whitespace/punct tokens (unique-preserving counts not kept)."""
     if lowercase:
@@ -196,6 +281,41 @@ class MinHasher:
                 idx[wrap] = idx[-1]  # wrap to the last filled bin
             borrowed = splitmix64(sig[idx[empty]] + np.arange(P, dtype=np.uint64)[empty])
             sig[empty] = borrowed
+        return sig
+
+    def signature_batch(self, vals: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """(n, num_perm) uint64 signatures for a (values, offsets) segment
+        array -- same per-row result as `signature` (per-bin minimum + the
+        same rotation densification), computed with ONE global affine pass
+        and ONE scatter-min instead of a sort per row."""
+        P = self.num_perm
+        n = offs.size - 1
+        MAX = np.iinfo(np.uint64).max
+        sig = np.full((n, P), MAX, dtype=np.uint64)
+        if vals.size:
+            with np.errstate(over="ignore"):
+                h = self.a * vals + self.b
+            if P & (P - 1) == 0:
+                shift = np.uint64(64 - P.bit_length() + 1)
+                bins = (h >> shift).astype(np.int64)
+            else:
+                bins = (h // np.uint64((2**64) // P)).astype(np.int64)
+                np.clip(bins, 0, P - 1, out=bins)
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+            np.minimum.at(sig.reshape(-1), row_ids * P + bins, h)
+        empty = sig == MAX
+        some = empty.any(axis=1) & ~empty.all(axis=1)
+        if some.any():
+            sub, e = sig[some], empty[some]
+            idx = np.where(~e, np.arange(P, dtype=np.int64)[None, :], -1)
+            np.maximum.accumulate(idx, axis=1, out=idx)
+            idx = np.where(idx < 0, idx[:, -1:], idx)  # circular wrap
+            cols = np.broadcast_to(np.arange(P, dtype=np.uint64), sub.shape)
+            with np.errstate(over="ignore"):
+                borrowed = splitmix64(
+                    np.take_along_axis(sub, idx, axis=1)[e] + cols[e])
+            sub[e] = borrowed
+            sig[some] = sub
         return sig
 
     @staticmethod

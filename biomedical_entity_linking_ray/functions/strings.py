@@ -123,20 +123,107 @@ _JW_CACHE: dict[tuple, float] = {}
 _JW_CACHE_CAP = 2_000_000
 
 
+# lazily compiled C kernel (see _jw_kernel.c). None = not probed yet,
+# False = probe failed (no compiler) -> pure-Python fallback.
+_JW_LIB = None
+
+
+def _load_jw_kernel():
+    global _JW_LIB
+    if _JW_LIB is not None:
+        return _JW_LIB or None
+    try:
+        import ctypes
+        import hashlib
+        import os
+        import subprocess
+        import tempfile
+
+        src = os.path.join(os.path.dirname(__file__), "_jw_kernel.c")
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"bel_jw_{tag}.so")
+        if not os.path.exists(so):
+            # unique tmp + atomic rename: many Ray workers may race here
+            tmp = f"{so}.{os.getpid()}.tmp"
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", src, "-o", tmp],
+                check=True, capture_output=True, timeout=60,
+            )
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        lib.jw_batch.restype = None
+        lib.jw_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_double, ctypes.c_int64,
+        ]
+        _JW_LIB = lib
+    except Exception:
+        _JW_LIB = False
+    return _JW_LIB or None
+
+
+def _jw_cached(s1: str, s2: str) -> float:
+    cache = _JW_CACHE
+    v = cache.get((s1, s2))
+    if v is None:
+        v = jaro_winkler(s1, s2)
+        if len(cache) >= _JW_CACHE_CAP:
+            cache.clear()
+        cache[(s1, s2)] = v
+    return v
+
+
 def jaro_winkler_pairs(paths_a, paths_b) -> "np.ndarray":
-    """Batched memoized Jaro-Winkler over parallel arrays of strings."""
+    """Batched Jaro-Winkler over parallel arrays of strings.
+
+    Vectorized preparation: identical pairs short-circuit to 1.0, the rest
+    are factorized to DISTINCT (a, b) pairs (LSH bands repeat the same path
+    pair many times), each scored once by the compiled C kernel over a
+    UTF-32 string table, then scattered back. Falls back to the memoized
+    pure-Python scalar when no C compiler is available.
+    """
     import numpy as np
+    import pandas as pd
 
     n = len(paths_a)
+    a = np.asarray(paths_a, dtype=object)
+    b = np.asarray(paths_b, dtype=object)
     out = np.empty(n, dtype=np.float64)
-    cache = _JW_CACHE
-    for k in range(n):
-        key = (paths_a[k], paths_b[k])
-        v = cache.get(key)
-        if v is None:
-            v = jaro_winkler(key[0], key[1])
-            if len(cache) >= _JW_CACHE_CAP:
-                cache.clear()
-            cache[key] = v
-        out[k] = v
+    eq = a == b
+    out[eq] = 1.0
+    rest = np.flatnonzero(~eq)
+    if rest.size == 0:
+        return out
+    codes, uniques = pd.factorize(np.concatenate([a[rest], b[rest]]), sort=False)
+    ca = codes[: rest.size].astype(np.uint64)
+    cb = codes[rest.size:].astype(np.uint64)
+    packed, inv = np.unique((ca << np.uint64(32)) | cb, return_inverse=True)
+    uia = (packed >> np.uint64(32)).astype(np.int64)
+    uib = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    lib = _load_jw_kernel()
+    if lib is None:
+        vals = np.fromiter(
+            (_jw_cached(uniques[i], uniques[j]) for i, j in zip(uia, uib)),
+            dtype=np.float64, count=uia.size)
+    else:
+        import ctypes
+
+        enc = [s.encode("utf-32-le") for s in uniques]
+        lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64,
+                           count=len(enc))
+        offs = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        buf = np.frombuffer(b"".join(enc) or b"\x00\x00\x00\x00", dtype=np.uint32)
+        vals = np.empty(uia.size, dtype=np.float64)
+        lib.jw_batch(
+            ctypes.c_void_p(buf.ctypes.data), ctypes.c_void_p(offs.ctypes.data),
+            ctypes.c_void_p(uia.ctypes.data), ctypes.c_void_p(uib.ctypes.data),
+            ctypes.c_int64(uia.size), ctypes.c_void_p(vals.ctypes.data),
+            ctypes.c_double(0.1), ctypes.c_int64(4),
+        )
+        bad = np.flatnonzero(vals < 0.0)  # per-pair malloc failure sentinel
+        for k in bad:
+            vals[k] = jaro_winkler(uniques[uia[k]], uniques[uib[k]])
+    out[rest] = vals[inv]
     return out

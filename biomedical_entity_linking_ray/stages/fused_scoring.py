@@ -144,14 +144,16 @@ def enrich_block_rows(
     )
 
 
-_PAIR_SCHEMA = {
-    "kind": str, "id_a": str, "id_b": str, "block_key": str,
-    "score_jw": float, "score_jaccard": float, "score_cosine": float, "score": float,
-}
+_PAIR_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("id_a", pa.string()), ("id_b", pa.string()),
+    ("block_key", pa.string()),
+    ("score_jw", pa.float64()), ("score_jaccard", pa.float64()),
+    ("score_cosine", pa.float64()), ("score", pa.float64()),
+])
 
 
-def _empty_out() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_SCHEMA.items()})
+def _empty_out() -> pa.Table:
+    return _PAIR_SCHEMA.empty_table()
 
 
 def score_blocks(
@@ -202,12 +204,24 @@ def score_blocks(
 
     coarse = rows.map_batches(add_coarse, batch_format="pyarrow")
 
+    import os as _os
+
+    _prof = bool(_os.environ.get("BEL_SCORE_TIMING"))
+
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import time as _time
+
+        _marks = [_time.time()]
+
+        def _mark():
+            _marks.append(_time.time())
+
         g = g.drop_duplicates(["block_key", "file_id"]).sort_values(
             ["block_key", "file_id"]).reset_index(drop=True)
         n = len(g)
         if n == 0:
             return _empty_out()
+        _mark()
         keys = g["block_key"].to_numpy()
         ids = g["file_id"].to_numpy()
         if feats_ref is not None:
@@ -225,6 +239,7 @@ def score_blocks(
                              ).reshape(n, num_perm)
         vecs = np.frombuffer(b"".join(vec_col), dtype=np.float16
                              ).reshape(n, tf_dim).astype(np.float32)
+        _mark()
 
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         lens = np.diff(np.r_[starts, n])
@@ -245,18 +260,18 @@ def score_blocks(
             return _empty_out()
         ia = np.concatenate(ia_all)
         ib = np.concatenate(ib_all)
+        _mark()
 
-        jac = (sigs[ia] == sigs[ib]).mean(axis=1)
+        # count_nonzero + divide == .mean(axis=1) exactly (integer count is
+        # exact; one float64 divide), without mean's float64 elementwise pass
+        jac = np.count_nonzero(sigs[ia] == sigs[ib], axis=1) / float(num_perm)
+        _mark()
         cos = np.einsum("ij,ij->i", vecs[ia], vecs[ib]).astype(np.float64)
         np.clip(cos, -1.0, 1.0, out=cos)
+        _mark()
         jw = jaro_winkler_pairs(paths[ia], paths[ib])
+        _mark()
         score = w_jw * jw + w_jac * jac + w_cos * cos
-
-        pairs = pd.DataFrame({
-            "kind": "p", "id_a": ids[ia], "id_b": ids[ib], "block_key": keys[ia],
-            "score_jw": jw, "score_jaccard": jac, "score_cosine": cos,
-            "score": score,
-        })
 
         # local union-find over passing pairs -> star edges (member, root)
         passing = score >= tau
@@ -279,19 +294,40 @@ def score_blocks(
                     parent[ra] = rb
         roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
         member_mask = roots != np.arange(n)
-        stars = pd.DataFrame({
-            "kind": "s",
-            "id_a": ids[roots[member_mask]],
-            "id_b": ids[member_mask],
-            "block_key": keys[member_mask],
-            "score_jw": 0.0, "score_jaccard": 0.0, "score_cosine": 0.0,
-            "score": 1.0,
-        })
-        return pd.concat([pairs, stars], ignore_index=True)
+        np_, ns = ia.size, int(member_mask.sum())
+        zeros = np.zeros(ns, dtype=np.float64)
+        # one Arrow table for pairs + stars: Arrow blocks serialize to the
+        # object store zero-copy (a pandas block would pickle 2 x n_pairs
+        # Python strings per bucket -- measured ~2s/M pairs just there)
+        _mark()
+        s, f = pa.string(), pa.float64()
+        out = pa.table({
+            "kind": pa.chunked_array([
+                np.full(np_, "p", dtype=object), np.full(ns, "s", dtype=object)],
+                type=s),
+            "id_a": pa.chunked_array([ids[ia], ids[roots[member_mask]]], type=s),
+            "id_b": pa.chunked_array([ids[ib], ids[member_mask]], type=s),
+            "block_key": pa.chunked_array([keys[ia], keys[member_mask]], type=s),
+            "score_jw": pa.chunked_array([jw, zeros], type=f),
+            "score_jaccard": pa.chunked_array([jac, zeros], type=f),
+            "score_cosine": pa.chunked_array([cos, zeros], type=f),
+            "score": pa.chunked_array([score, np.ones(ns, dtype=np.float64)],
+                                      type=f),
+        }, schema=_PAIR_SCHEMA)
+        if _prof and np_ >= 100_000:
+            d = np.diff(_marks)
+            names = ["sort", "gather", "enum", "jac", "cos", "jw", "uf", "emit"]
+            d = list(d) + [_time.time() - _marks[-1]]
+            print("  [score n=%d pairs=%d] " % (n, np_)
+                  + " ".join(f"{nm}={v:.2f}" for nm, v in zip(names, d)),
+                  flush=True)
+        return out
 
     tagged = coarse.groupby("__coarse").map_groups(
         score_bucket, batch_format="pandas"
     ).materialize()
+    if _prof:
+        print(tagged.stats(), flush=True)
     if tagged.count() == 0:
         # every surviving block was singleton-free of pairs: typed empties
         # (a schema-less empty dataset would poison the filters below)

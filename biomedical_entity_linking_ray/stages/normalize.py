@@ -69,6 +69,11 @@ class FeatureExtractor:
         path_norms = [strings.normalize_path(p) for p in paths]
         stems = [strings.path_stem(p) for p in paths]
 
+        # NOTE: the whole content pipeline stays PER ROW on purpose: a ~7 KB
+        # row's hash arrays are L1/L2-resident across all ~30 kernel steps,
+        # while the batched variants (shingle_hashes_batch / signature_batch
+        # / hashed_tf_batch -- kept for many-small-text callers) stream
+        # multi-MB temporaries through DRAM and measured 3-8x SLOWER here.
         sigs = np.empty((n, cfg.num_perm), dtype=np.uint16)
         vecs = np.empty((n, cfg.tf_dim), dtype=np.float16)
         n_tokens = np.empty(n, dtype=np.int64)

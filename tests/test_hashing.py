@@ -80,3 +80,39 @@ def test_jaro_winkler():
 def test_path_helpers():
     assert strings.path_stem("src/A/Util_v2.PY") == "util_v2"
     assert strings.path_tokens("src/a/b.py") == ["src", "a", "b", "py"]
+
+
+def test_batched_content_kernels_match_per_row():
+    """The batched kernels (one concatenated pass) must reproduce the
+    per-row functions row by row: same shingle MULTISET, same MinHash
+    signature, same TF vector (to float rounding)."""
+    rng = np.random.RandomState(7)
+    texts = [
+        "", "a", "ab", "abcd", "xyzz" * 3,
+        "the quick brown fox jumps over the lazy dog " * 40,
+        "éèê unicode café " * 30,
+        "".join(chr(rng.randint(97, 123)) for _ in range(5000)),  # over cap
+    ]
+    k, cap, mod, P, dim = 5, 1024, 4, 128, 64
+    mh = hashing.MinHasher(P, seed=11)
+    vals, offs = hashing.shingle_hashes_batch(texts, k, cap)
+    svals, soffs = hashing.sample_shingles_batch(vals, offs, mod)
+    sig_b = mh.signature_batch(svals, soffs)
+    tf_b = hashing.hashed_tf_batch(svals, soffs, dim)
+    for i, t in enumerate(texts):
+        per = hashing.char_shingle_hashes(t, k, cap)
+        batch_row = vals[offs[i]:offs[i + 1]]
+        assert np.array_equal(np.sort(per), np.sort(batch_row)), i
+        samp = hashing.sample_shingles(per, mod)
+        samp_b = svals[soffs[i]:soffs[i + 1]]
+        assert np.array_equal(np.sort(samp), np.sort(samp_b)), i
+        assert np.array_equal(mh.signature(samp), sig_b[i]), i
+        assert np.allclose(
+            hashing.hashed_tf_vector(samp, dim), tf_b[i], atol=1e-6), i
+    # non-power-of-two bin path
+    mh3 = hashing.MinHasher(96, seed=3)
+    sig3 = mh3.signature_batch(svals, soffs)
+    for i, t in enumerate(texts):
+        samp = hashing.sample_shingles(
+            hashing.char_shingle_hashes(t, k, cap), mod)
+        assert np.array_equal(mh3.signature(samp), sig3[i]), i
