@@ -262,12 +262,25 @@ def score_blocks(
         ib = np.concatenate(ib_all)
         _mark()
 
-        # count_nonzero + divide == .mean(axis=1) exactly (integer count is
-        # exact; one float64 divide), without mean's float64 elementwise pass
-        jac = np.count_nonzero(sigs[ia] == sigs[ib], axis=1) / float(num_perm)
-        _mark()
-        cos = np.einsum("ij,ij->i", vecs[ia], vecs[ib]).astype(np.float64)
+        # CHUNKED sketch scoring: a full-width gather would materialize two
+        # (pairs, num_perm) temporaries per kernel (~1 KB/pair of DRAM
+        # traffic -- the scaling killer on a shared memory bus); 8k-pair
+        # chunks keep the gathered temporaries L2-resident while the source
+        # rows stay cache-hot (consecutive pairs index the same block).
+        # count_nonzero + one divide == .mean(axis=1) exactly; float32
+        # einsum assigned into float64 == .astype(np.float64) exactly.
+        npairs = ia.size
+        jac = np.empty(npairs, dtype=np.float64)
+        cos = np.empty(npairs, dtype=np.float64)
+        CH = 8192
+        for c0 in range(0, npairs, CH):
+            sl = slice(c0, min(c0 + CH, npairs))
+            ia_c, ib_c = ia[sl], ib[sl]
+            jac[sl] = np.count_nonzero(sigs[ia_c] == sigs[ib_c], axis=1)
+            cos[sl] = np.einsum("ij,ij->i", vecs[ia_c], vecs[ib_c])
+        jac /= float(num_perm)
         np.clip(cos, -1.0, 1.0, out=cos)
+        _mark()
         _mark()
         jw = jaro_winkler_pairs(paths[ia], paths[ib])
         _mark()
