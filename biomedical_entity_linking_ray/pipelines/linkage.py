@@ -122,7 +122,15 @@ def run_linkage(
 
     n_blocks = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 2) \
         if _ray.is_initialized() else 32
-    files = files.repartition(n_blocks)
+    try:
+        cur_blocks = files.num_blocks()  # known only for materialized inputs
+    except NotImplementedError:
+        # lazy read: ReadParquet self-splits into >= cpu-count blocks, so a
+        # repartition here would only copy the full content through the
+        # object store for nothing (measured ~7 s / 2.6 GB at bench scale)
+        cur_blocks = None
+    if cur_blocks is not None and cur_blocks < n_blocks:
+        files = files.repartition(n_blocks)
 
     feats = persist("s0_features", lambda: (
         normalize.compute_features(files, cfg, concurrency=feature_concurrency), {}))

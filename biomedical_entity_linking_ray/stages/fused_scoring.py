@@ -208,40 +208,76 @@ def score_blocks(
 
     _prof = bool(_os.environ.get("BEL_SCORE_TIMING"))
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def _adjacent_same(col, n: int) -> np.ndarray:
+        """bool[n-1]: row i+1 equals row i in `col` (C++ kernel, no Python
+        string materialization)."""
+        import pyarrow.compute as pc
+
+        if n < 2:
+            return np.zeros(0, dtype=bool)
+        return pc.equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+
+    def _dense_payload(col, dtype, width: int, n: int) -> np.ndarray:
+        """(n, width) matrix view of a binary column whose every value is
+        exactly `width * dtype.itemsize` bytes -- reads the Arrow data buffer
+        directly instead of materializing n Python bytes objects."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset: arr.offset + n + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        flat = data[off[0]: off[-1]]
+        return np.frombuffer(flat.tobytes(), dtype=dtype).reshape(n, width) \
+            if flat.ctypes.data % np.dtype(dtype).itemsize else \
+            flat.view(dtype).reshape(n, width)
+
+    def score_bucket(g: pa.Table) -> pa.Table:
         import time as _time
+
+        import pyarrow.compute as pc
 
         _marks = [_time.time()]
 
         def _mark():
             _marks.append(_time.time())
 
-        g = g.drop_duplicates(["block_key", "file_id"]).sort_values(
-            ["block_key", "file_id"]).reset_index(drop=True)
-        n = len(g)
-        if n == 0:
+        if g.num_rows == 0:
             return _empty_out()
+        need = (["block_key", "file_id"] if feats_ref is not None else
+                ["block_key", "file_id", "path_norm", "sig", "tfvec"])
+        # arrow-native dedup + sort: C++ kernels, no pandas object columns.
+        # Sorting by UTF-8 bytes == sorting by code points (UTF-8 preserves
+        # code-point order), so block/id order matches the old pandas path.
+        g = g.select(need).combine_chunks()
+        g = g.sort_by([("block_key", "ascending"), ("file_id", "ascending")])
+        n = g.num_rows
+        bk, fid = g["block_key"], g["file_id"]
+        dup = _adjacent_same(bk, n) & _adjacent_same(fid, n)
+        if dup.any():
+            g = g.filter(pa.array(np.r_[True, ~dup])).combine_chunks()
+            n = g.num_rows
+            bk, fid = g["block_key"], g["file_id"]
         _mark()
-        keys = g["block_key"].to_numpy()
-        ids = g["file_id"].to_numpy()
         if feats_ref is not None:
             idx = cached_broadcast(
                 feats_ref, lambda df: df.set_index("file_id", drop=False))
-            sel = idx.reindex(ids)
-            paths = sel["path_norm"].to_numpy()
-            sig_col = sel["sig"].tolist()
-            vec_col = sel["tfvec"].tolist()
+            sel = idx.reindex(fid.to_pylist())
+            paths, path_codes = sel["path_norm"].to_numpy(), None
+            sigs = np.frombuffer(b"".join(sel["sig"].tolist()), dtype=np.uint16
+                                 ).reshape(n, num_perm)
+            vecs = np.frombuffer(b"".join(sel["tfvec"].tolist()), dtype=np.float16
+                                 ).reshape(n, tf_dim).astype(np.float32)
         else:
-            paths = g["path_norm"].to_numpy()
-            sig_col = g["sig"].tolist()
-            vec_col = g["tfvec"].tolist()
-        sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint16
-                             ).reshape(n, num_perm)
-        vecs = np.frombuffer(b"".join(vec_col), dtype=np.float16
-                             ).reshape(n, tf_dim).astype(np.float32)
+            d = pc.dictionary_encode(g["path_norm"].combine_chunks())
+            d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+            path_codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            paths = np.asarray(d.dictionary.to_pylist(), dtype=object)
+            sigs = _dense_payload(g["sig"], np.uint16, num_perm, n)
+            vecs = _dense_payload(g["tfvec"], np.float16, tf_dim, n
+                                  ).astype(np.float32)
         _mark()
 
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(np.r_[True, ~_adjacent_same(bk, n)])
         lens = np.diff(np.r_[starts, n])
         ia_all, ib_all = [], []
         for s, ln in zip(starts, lens):
@@ -282,11 +318,17 @@ def score_blocks(
         np.clip(cos, -1.0, 1.0, out=cos)
         _mark()
         _mark()
-        jw = jaro_winkler_pairs(paths[ia], paths[ib])
+        if path_codes is None:
+            jw = jaro_winkler_pairs(paths[ia], paths[ib])
+        else:
+            jw = jaro_winkler_pairs(paths[path_codes[ia]], paths[path_codes[ib]])
         _mark()
         score = w_jw * jw + w_jac * jac + w_cos * cos
 
-        # local union-find over passing pairs -> star edges (member, root)
+        # local union-find over passing pairs -> star edges (member, root).
+        # Rows are sorted by (block_key, file_id) and pairs stay inside one
+        # block, so the min INDEX of a component is its min file_id: union by
+        # min index == the old union by min id, without string compares.
         passing = score >= tau
         parent = np.arange(n, dtype=np.int64)
 
@@ -300,33 +342,36 @@ def score_blocks(
         for a, b in zip(ia[passing].tolist(), ib[passing].tolist()):
             ra, rb = find(a), find(b)
             if ra != rb:
-                # union by min id keeps roots deterministic
-                if ids[ra] <= ids[rb]:
+                if ra < rb:
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
         roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
         member_mask = roots != np.arange(n)
-        np_, ns = ia.size, int(member_mask.sum())
+        member_idx = np.flatnonzero(member_mask)
+        np_, ns = ia.size, member_idx.size
         zeros = np.zeros(ns, dtype=np.float64)
-        # one Arrow table for pairs + stars: Arrow blocks serialize to the
-        # object store zero-copy (a pandas block would pickle 2 x n_pairs
-        # Python strings per bucket -- measured ~2s/M pairs just there)
         _mark()
-        s, f = pa.string(), pa.float64()
-        out = pa.table({
-            "kind": pa.chunked_array([
-                np.full(np_, "p", dtype=object), np.full(ns, "s", dtype=object)],
-                type=s),
-            "id_a": pa.chunked_array([ids[ia], ids[roots[member_mask]]], type=s),
-            "id_b": pa.chunked_array([ids[ib], ids[member_mask]], type=s),
-            "block_key": pa.chunked_array([keys[ia], keys[member_mask]], type=s),
-            "score_jw": pa.chunked_array([jw, zeros], type=f),
-            "score_jaccard": pa.chunked_array([jac, zeros], type=f),
-            "score_cosine": pa.chunked_array([cos, zeros], type=f),
-            "score": pa.chunked_array([score, np.ones(ns, dtype=np.float64)],
-                                      type=f),
+        # emission via arrow take: the id/key columns never become Python
+        # strings; float columns wrap the numpy buffers zero-copy
+        ia_pa, ib_pa = pa.array(ia), pa.array(ib)
+        m_pa, r_pa = pa.array(member_idx), pa.array(roots[member_idx])
+        pairs_tab = pa.table({
+            "kind": pa.array(np.full(np_, "p", dtype=object), pa.string()),
+            "id_a": pc.take(fid, ia_pa), "id_b": pc.take(fid, ib_pa),
+            "block_key": pc.take(bk, ia_pa),
+            "score_jw": pa.array(jw), "score_jaccard": pa.array(jac),
+            "score_cosine": pa.array(cos), "score": pa.array(score),
         }, schema=_PAIR_SCHEMA)
+        stars_tab = pa.table({
+            "kind": pa.array(np.full(ns, "s", dtype=object), pa.string()),
+            "id_a": pc.take(fid, r_pa), "id_b": pc.take(fid, m_pa),
+            "block_key": pc.take(bk, m_pa),
+            "score_jw": pa.array(zeros), "score_jaccard": pa.array(zeros),
+            "score_cosine": pa.array(zeros),
+            "score": pa.array(np.ones(ns, dtype=np.float64)),
+        }, schema=_PAIR_SCHEMA)
+        out = pa.concat_tables([pairs_tab, stars_tab])
         if _prof and np_ >= 100_000:
             d = np.diff(_marks)
             names = ["sort", "gather", "enum", "jac", "cos", "jw", "uf", "emit"]
@@ -337,7 +382,7 @@ def score_blocks(
         return out
 
     tagged = coarse.groupby("__coarse").map_groups(
-        score_bucket, batch_format="pandas"
+        score_bucket, batch_format="pyarrow"
     ).materialize()
     if _prof:
         print(tagged.stats(), flush=True)

@@ -116,3 +116,28 @@ def test_batched_content_kernels_match_per_row():
         samp = hashing.sample_shingles(
             hashing.char_shingle_hashes(t, k, cap), mod)
         assert np.array_equal(mh3.signature(samp), sig3[i]), i
+
+
+def test_jaro_winkler_pairs_kernel_and_fallback_agree():
+    """The batched path must give the per-pair scalar result both with the
+    compiled C kernel and with the pure-Python fallback (no compiler)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    alpha = list("abcdef/._-")
+    A = np.array(["".join(rng.choice(alpha, rng.randint(0, 20))) for _ in range(500)],
+                 dtype=object)
+    B = A.copy()
+    B[::3] = np.array(["".join(rng.choice(alpha, rng.randint(0, 20)))
+                       for _ in range(len(B[::3]))], dtype=object)
+    want = np.array([strings.jaro_winkler(a, b) for a, b in zip(A, B)])
+    got_kernel = strings.jaro_winkler_pairs(A, B)
+    saved = strings._JW_LIB
+    try:
+        strings._JW_LIB = False  # force the pure-Python fallback branch
+        got_py = strings.jaro_winkler_pairs(A, B)
+    finally:
+        strings._JW_LIB = saved
+    assert np.array_equal(got_py, want)
+    if saved:  # compiler present in this container
+        assert np.array_equal(got_kernel, want)
