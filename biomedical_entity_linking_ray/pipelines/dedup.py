@@ -197,11 +197,15 @@ def minhash_near_dup_pairs(
 
 def simhash_near_dup_pairs(
     sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
+    spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, hamming): SimHash with rotated-prefix bucketing.
 
     4 rotations x 12-bit prefixes bucket candidates (near-identical simhashes
     share at least one rotated prefix whp), Hamming-verified within buckets.
+    The sketch table (16 B/doc) is pinned in the object store by default;
+    pass `spill_dir` to land it as Parquet instead (the 10^12-doc path, same
+    contract as minhash_near_dup_pairs).
     """
 
     def sketch(t: pa.Table) -> pa.Table:
@@ -214,7 +218,12 @@ def simhash_near_dup_pairs(
 
     sk = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         sketch, batch_format="pyarrow", batch_size=2048
-    ).materialize()
+    )
+    if spill_dir is not None:
+        sk.write_parquet(spill_dir)
+        sk = ray.data.read_parquet(spill_dir)
+    else:
+        sk = sk.materialize()
 
     rotations = 4
 
@@ -259,6 +268,7 @@ def simhash_near_dup_pairs(
 def ngram_jaccard_pairs(
     sf_dir: str, n: int = 3, threshold: float = 0.5,
     candidates: "ray.data.Dataset | None" = None,
+    spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, jaccard) with EXACT token-n-gram Jaccard >= threshold.
 
@@ -286,7 +296,12 @@ def ngram_jaccard_pairs(
 
     feats = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         gram_sets, batch_format="pyarrow", batch_size=2048
-    ).materialize()
+    )
+    if spill_dir is not None:  # 10^12-doc path: gram sets land as Parquet
+        feats.write_parquet(spill_dir)
+        feats = ray.data.read_parquet(spill_dir)
+    else:
+        feats = feats.materialize()
 
     from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
 
