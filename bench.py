@@ -129,7 +129,11 @@ def run_linkage_only() -> dict:
     shards = 24 if factor > 20 else 1  # parallel generation for big corpora
     d = materialize_corpus(
         SynthConfig().scaled(factor, content_scale=content_scale), shards=shards)
-    files = rd.read_parquet(os.path.join(d, "files.parquet"))
+    # size read blocks to the session: the default splitter can emit hundreds
+    # of small blocks (24 shard files x 9 splits), and every one becomes a
+    # task in each downstream stage -- pure overhead at low CPU counts
+    files = rd.read_parquet(os.path.join(d, "files.parquet"),
+                            override_num_blocks=max(32, NUM_CPUS * 2))
     n_input = files.count()  # warms the page cache too
 
     t0 = time.time()

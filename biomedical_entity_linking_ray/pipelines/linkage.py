@@ -132,8 +132,14 @@ def run_linkage(
     if cur_blocks is not None and cur_blocks < n_blocks:
         files = files.repartition(n_blocks)
 
+    # Compact the SKINNY feature output (content already dropped) to
+    # ~2x-cpu blocks: a many-file read can arrive as hundreds of small
+    # blocks, and every downstream stage would pay per-task overhead on all
+    # of them (measured +7s/stage at 2 CPUs); repartitioning here moves only
+    # ids+sketches, never the raw content.
     feats = persist("s0_features", lambda: (
-        normalize.compute_features(files, cfg, concurrency=feature_concurrency), {}))
+        normalize.compute_features(files, cfg, concurrency=feature_concurrency)
+        .repartition(n_blocks), {}))
     if feats.count() == 0:
         return _empty_result(feats)
 
