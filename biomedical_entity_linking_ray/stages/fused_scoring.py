@@ -374,7 +374,7 @@ def score_blocks(
         out = pa.concat_tables([pairs_tab, stars_tab])
         if _prof and np_ >= 100_000:
             d = np.diff(_marks)
-            names = ["sort", "gather", "enum", "jac", "cos", "jw", "uf", "emit"]
+            names = ["sort", "gather", "enum", "jac+cos", "clip", "jw", "uf", "emit"]
             d = list(d) + [_time.time() - _marks[-1]]
             print("  [score n=%d pairs=%d] " % (n, np_)
                   + " ".join(f"{nm}={v:.2f}" for nm, v in zip(names, d)),

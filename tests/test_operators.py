@@ -195,3 +195,24 @@ def test_image_codecs_roundtrip():
     assert np.array_equal(M.ppm_decode(M.ppm_encode(arr)), arr)
     assert np.array_equal(M.png_decode(M.png_encode(arr, 0)), arr)
     assert np.array_equal(M.png_decode(M.png_encode(arr, 2)), arr)
+
+
+def test_dedup_spill_dir_paths_match_in_memory(tmp_path):
+    """spill_dir (the 10^12-doc Parquet path) must not change results for
+    minhash, simhash or ngram pipelines."""
+    from biomedical_entity_linking_ray.pipelines.dedup import (
+        minhash_near_dup_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs,
+    )
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for fn, kw, sub in [
+        (minhash_near_dup_pairs, {"jaccard_threshold": 0.0}, "mh"),
+        (simhash_near_dup_pairs, {}, "sh"),
+        (ngram_jaccard_pairs, {"threshold": 0.1}, "ng"),
+    ]:
+        mem = canon(fn(SF_DIR, **kw))
+        spill = canon(fn(SF_DIR, spill_dir=str(tmp_path / sub), **kw))
+        pd.testing.assert_frame_equal(mem, spill)
