@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
+        # exhaustive config: nprobe == n_centroids admits every inverted list,
+        # so the IVF machinery returns the exact top-k and the brute-force
+        # SQL oracle applies verbatim (checks the probe/mask/merge plumbing)
+        "knn_ivf_exhaustive": lambda sf_dir: similarity.knn_ivf(
+            sf_dir, n_centroids=16, nprobe=16),
         "knn_label_recall": similarity.label_recall_at_k,
         # --- warm-encoder actor pool (documents -> embedding table) ---
         "doc_embeddings": _doc_embeddings,
@@ -150,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
     """
+    out["knn_ivf_exhaustive"] = out["knn_bruteforce"]
     out["quality_scores"] = """
         WITH c AS (
             SELECT doc_id,

@@ -75,9 +75,23 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Global top-k with limit pushdown: each block keeps its local top-k
+    (vectorized lexsort), so the global sort -- still the O1 all-to-all sort
+    operator -- runs over <= k x num_blocks rows instead of the full table.
+    At 100 TB the full-table sort+limit would shuffle everything for 10 rows."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        price = t["o_totalprice"].to_numpy()
+        keys = t["o_orderkey"].to_numpy()
+        order = np.lexsort((keys, -price))[:k]
+        return t.take(pa.array(order))
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
     return _round_cols(
-        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k),
+        partials.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k),
         ["o_totalprice"],
     )
 

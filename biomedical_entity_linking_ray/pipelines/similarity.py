@@ -129,7 +129,10 @@ def knn_ivf(
     qids, Q = load_query_matrix(sf_dir, n_queries)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
-    Qu = (Q / qn).astype(np.float32)
+    # float64 + round-before-rank (same as knn_bruteforce): with
+    # nprobe == n_centroids the pruning admits everything, so the result is
+    # the exact top-k and the brute-force DuckDB oracle applies verbatim
+    Qu = Q / qn
 
     # --- train (pruned sample; falls back to full read only if ids sparse) ---
     t = pq.read_table(path, columns=["vec_id", "embedding"],
@@ -153,14 +156,14 @@ def knn_ivf(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, Qu_, C_, qp = ray.get(bc)
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         vn = np.linalg.norm(V, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         Vu = V / vn
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        cid = np.argmax(Vu @ C_.T, axis=1)                    # (n,)
+        cid = np.argmax(Vu.astype(np.float32) @ C_.T, axis=1)  # (n,)
         cand_mask = (qp[:, :, None] == cid[None, None, :]).any(axis=1)
-        sims = Qu_ @ Vu.T
+        sims = np.round(Qu_ @ Vu.T, 4)
         sims[~cand_mask] = -2.0
         kk = min(k, ids.size)
         out_q, out_v, out_s = [], [], []
