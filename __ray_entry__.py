@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text_analysis.quality_scores,
         "language_id": text_analysis.language_id,
         "doc_fingerprints": text_analysis.fingerprints,
+        "token_packing": text_analysis.token_packing,
         "dictionary_extract": text_analysis.dictionary_extract,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
@@ -156,6 +157,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
     """
     out["knn_ivf_exhaustive"] = out["knn_bruteforce"]
+    out["token_packing"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS prev
+            FROM c
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(prev // 512 AS BIGINT) AS bin_id,
+               CAST(prev % 512 AS BIGINT) AS bin_offset
+        FROM s
+    """
     out["quality_scores"] = """
         WITH c AS (
             SELECT doc_id,

@@ -8,6 +8,8 @@ dataset statistics A5 in SURVEY.md 2.2/2.5):
 - quality scoring      (length / punctuation / stopword / repetition ratios)
 - language ID          (stopword-profile n-gram heuristic; no oracle)
 - fingerprinting       (rolling min-hash document fingerprint; rows-only)
+- token packing        (concat-then-chunk training bins via a distributed
+                        prefix scan; SQL-oracle-able window function)
 
 Every function takes `sf_dir` and reads only the columns it needs.
 """
@@ -166,6 +168,75 @@ def dictionary_extract(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
 
     docs = read_documents(sf_dir, ["doc_id", "text"])
     return dictionary_match_counts(docs, EXTRACT_TERMS, concurrency=concurrency)
+
+
+def token_packing(
+    sf_dir: str, capacity: int = 512, n_ranges: int = 64,
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, bin_id, bin_offset): greedy concat-then-chunk packing.
+
+    Documents are concatenated in doc_id order into one token stream and cut
+    into fixed-`capacity` training bins (the standard pretraining packing
+    shape); each doc reports the bin and in-bin offset where its first token
+    lands. Docs may span bins -- exactly the chunked-stream semantics.
+
+    Distributed prefix scan (ONE content pass, one skinny shuffle):
+    1. per-doc token counts via map_batches (content read once, then dropped);
+    2. contiguous doc_id ranges; per-range token sums aggregate to one row
+       per range, whose exclusive prefix is computed driver-side (n_ranges
+       scalars -- at 10^12 docs the driver holds range sums, never rows)
+       and broadcast;
+    3. per-range vectorized in-order cumsum + broadcast base offset.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.fromiter((len(_WORD.findall(s)) for s in texts),
+                            dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n_tok)})
+
+    counts = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        count_fn, batch_format="pyarrow", batch_size=4096
+    ).materialize()  # skinny (id, count); branch-consumed below
+    if counts.count() == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("bin_id", pa.int64()), ("bin_offset", pa.int64())]).empty_table())
+
+    mm = counts.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    span = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        r = (t["doc_id"].to_numpy() - lo) // span
+        return t.append_column("__range", pa.array(r.astype(np.int64)))
+
+    ranged = counts.map_batches(add_range, batch_format="pyarrow")
+    range_sums = bucketed_aggregate(
+        ranged, ["__range"], {"tok_sum": ("n_tokens", "sum")}, n_buckets=16,
+    ).to_pandas().sort_values("__range")
+    base = dict(zip(
+        range_sums["__range"],
+        np.concatenate([[0], np.cumsum(range_sums["tok_sum"].to_numpy())[:-1]]),
+    ))
+    base_ref = _ray.put(base)
+
+    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        b = cached_broadcast(base_ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        ntok = g["n_tokens"].to_numpy()
+        prev = np.cumsum(ntok) - ntok + int(b[int(g["__range"].iloc[0])])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "n_tokens": g["n_tokens"],
+            "bin_id": prev // capacity, "bin_offset": prev % capacity,
+        })
+
+    return ranged.groupby("__range").map_groups(pack_range, batch_format="pandas")
 
 
 def fingerprints(sf_dir: str, window: int = 32) -> "ray.data.Dataset":

@@ -261,3 +261,20 @@ def test_label_recall_monotone():
     # recall@k is monotone nondecreasing in k
     assert (np.diff(t["recall"].to_numpy()) >= -1e-12).all()
     assert ((0 <= t["recall"]) & (t["recall"] <= 1)).all()
+
+
+def test_token_packing_prefix_scan():
+    from biomedical_entity_linking_ray.pipelines.text_analysis import token_packing
+
+    df = token_packing(SF_DIR, capacity=128).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(df) == 500
+    # the packed stream is exactly the global exclusive prefix sum in id order
+    prev = df["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+    assert (df["bin_id"].to_numpy() == prev // 128).all()
+    assert (df["bin_offset"].to_numpy() == prev % 128).all()
+    # partitioning-invariant: a different range count changes only the
+    # parallel decomposition, never the stream
+    df2 = token_packing(SF_DIR, capacity=128, n_ranges=7).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, df2)
