@@ -182,7 +182,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     # best-of-N per CPU count: the sandbox VM shares its host, so single runs
     # carry up to ~40% noise; min wall-time approximates uncontended hardware
@@ -193,15 +194,15 @@ def run_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, same input)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
+        "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh processes, same input)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "rows_in": r_lo["rows_in"],
         "pairs_scored": r_lo["pairs_scored"],
-        "rows_per_sec_8": r_lo["rows_per_sec"],
-        "rows_per_sec_32": r_hi["rows_per_sec"],
+        f"rows_per_sec_{lo}": r_lo["rows_per_sec"],
+        f"rows_per_sec_{hi}": r_hi["rows_per_sec"],
         "workload": "linkage on synthetic files corpus factor="
                     + os.environ.get("GRAFT_SCALE_FACTOR", "30"),
     }
