@@ -341,8 +341,14 @@ def materialize_corpus(
         return d
     os.makedirs(d, exist_ok=True)
     corpus = generate_corpus(cfg) if shards <= 1 else generate_corpus_sharded(cfg, shards)
-    if shards > 1:
-        _write_sharded(corpus.files, os.path.join(d, "files.parquet"), shards)
+    # Always land files.parquet as a directory of ~4k-row parts: a single
+    # parquet file is a single read task (a serial scan that the whole
+    # pipeline then trails behind); part files give the read real fan-out.
+    # Row content and order are identical to the unsharded write.
+    write_shards = shards if shards > 1 else max(
+        1, min(32, (corpus.files.num_rows + 4095) // 4096))
+    if write_shards > 1:
+        _write_sharded(corpus.files, os.path.join(d, "files.parquet"), write_shards)
     else:
         pq.write_table(corpus.files, os.path.join(d, "files.parquet"))
     pq.write_table(corpus.gold_pairs, os.path.join(d, "gold_pairs.parquet"))
