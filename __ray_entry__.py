@@ -102,9 +102,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
         "embedding_near_dup": dedup.embedding_near_dup_exact,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_pairs,
+        # exhaustive config: zero hyperplanes put every vector in one bucket
+        # and all_pairs_max admits the whole bucket, so the LSH
+        # explode/verify/agg plumbing returns the exact all-pairs result and
+        # the cross-join SQL oracle applies verbatim
+        "embedding_near_dup_lsh_exhaustive": lambda sf_dir: dedup.embedding_near_dup_pairs(
+            sf_dir, threshold=0.4, lsh_planes=0, rotations=1,
+            all_pairs_max=1_000_000, dtype="float64"),
         # --- similarity search over embeddings ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        # exhaustive config: zero hyperplanes admit every candidate, so the
+        # bucket/mask/merge plumbing returns the exact top-k and the
+        # brute-force SQL oracle applies verbatim
+        "knn_lsh_exhaustive": lambda sf_dir: similarity.knn_lsh(
+            sf_dir, lsh_planes=0, rotations=1),
         "knn_ivf": similarity.knn_ivf,
         # exhaustive config: nprobe == n_centroids admits every inverted list,
         # so the IVF machinery returns the exact top-k and the brute-force
@@ -157,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
     """
     out["knn_ivf_exhaustive"] = out["knn_bruteforce"]
+    out["knn_lsh_exhaustive"] = out["knn_bruteforce"]
     out["token_packing"] = """
         WITH c AS (
             SELECT doc_id,
@@ -267,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
     """
+    out["embedding_near_dup_lsh_exhaustive"] = out["embedding_near_dup"]
     out["knn_label_recall"] = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe, label AS qlabel

@@ -506,12 +506,19 @@ def embedding_near_dup_exact(
 
 def embedding_near_dup_pairs(
     sf_dir: str, threshold: float = 0.3, lsh_planes: int = 12, rotations: int = 3,
-    seed: int = 42,
+    seed: int = 42, all_pairs_max: int = 64, dtype=np.float32,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, cosine) over the embeddings table, cosine >= threshold.
 
     Random-hyperplane LSH buckets (rotations x sign-prefix) bound the pair
-    enumeration; exact cosine verification inside each bucket.
+    enumeration; exact cosine verification inside each bucket (rounded to 4
+    decimals BEFORE thresholding, the SQL-reproducibility convention).
+
+    `lsh_planes=0` is the oracle config: zero hyperplanes put every vector in
+    one bucket, so with `all_pairs_max >= n` the in-bucket verify enumerates
+    every pair and the exact cross-join DuckDB oracle applies verbatim --
+    checking the explode/bucket/verify/agg plumbing end to end (pass
+    dtype=np.float64 there; float32 is the at-scale wire format).
     """
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
@@ -523,7 +530,7 @@ def embedding_near_dup_pairs(
     def explode(t: pa.Table) -> pa.Table:
         pls = _ray.get(planes_ref)
         n = t.num_rows
-        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        vecs = np.array(t["embedding"].to_pylist(), dtype=dtype)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
@@ -553,11 +560,12 @@ def embedding_near_dup_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64),
                                  "cosine": pd.Series(dtype=np.float64)})
-        M = np.frombuffer(b"".join(g["unit"].tolist()), dtype=np.float32).reshape(len(g), -1)
-        c = np.einsum("ij,ij->i", M[ia], M[ib]).astype(np.float64)
+        M = np.frombuffer(b"".join(g["unit"].tolist()), dtype=dtype).reshape(len(g), -1)
+        c = np.round(np.einsum("ij,ij->i", M[ia], M[ib]).astype(np.float64), 4)
         keep = c >= threshold
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "cosine": c[keep]})
 
-    pairs = within_key_pairs(buckets, "bucket", "vec_id", emit=emit)
+    pairs = within_key_pairs(buckets, "bucket", "vec_id", emit=emit,
+                             all_pairs_max=all_pairs_max)
     return bucketed_aggregate(pairs, ["id_a", "id_b"], {"cosine": ("cosine", "max")})

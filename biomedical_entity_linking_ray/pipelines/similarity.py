@@ -231,14 +231,19 @@ def knn_lsh(
     lsh_planes: int = 8, rotations: int = 4, seed: int = 42,
 ) -> "ray.data.Dataset":
     """Approximate top-k: random-hyperplane buckets (rotations x sign-code);
-    a query only scores vectors sharing >= 1 bucket (IVF-style pruning)."""
+    a query only scores vectors sharing >= 1 bucket (IVF-style pruning).
+
+    Scoring follows the knn_bruteforce convention (float64 cosine, rounded to
+    4 decimals BEFORE ranking, vec_id tie-break) so the `lsh_planes=0` config
+    -- zero hyperplanes puts everything in one bucket, admitting every
+    candidate -- reproduces the exact brute-force result and the same DuckDB
+    oracle checks the bucket/mask/merge plumbing end to end."""
     qids, Q = load_query_matrix(sf_dir, n_queries)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
-    Qu = (Q / qn).astype(np.float32)
+    Qu = Q / qn
     rng = np.random.RandomState(seed)
-    planes = [rng.randn(lsh_planes, Q.shape[1]).astype(np.float32) for _ in range(rotations)]
-    Qu = Qu.astype(np.float32)
+    planes = [rng.randn(lsh_planes, Q.shape[1]) for _ in range(rotations)]
 
     # per-rotation sign codes of the queries, (rotations, n_queries)
     q_codes = np.stack([
@@ -248,7 +253,7 @@ def knn_lsh(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, Qu_, planes_, qcodes_ = ray.get(bc_ref)
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         vn = np.linalg.norm(V, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         Vu = V / vn
@@ -259,7 +264,8 @@ def knn_lsh(
         for r, P in enumerate(planes_):
             codes = ((Vu @ P.T) > 0) @ (1 << np.arange(P.shape[0]))
             cand_mask |= qcodes_[r][:, None] == codes[None, :]
-        sims = Qu_ @ Vu.T
+        # round BEFORE ranking: rank ties then break identically to SQL
+        sims = np.round(Qu_ @ Vu.T, 4)
         sims[~cand_mask] = -2.0  # outside candidate set
         kk = min(k, ids.size)
         out_q, out_v, out_s = [], [], []

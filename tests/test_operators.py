@@ -216,3 +216,32 @@ def test_dedup_spill_dir_paths_match_in_memory(tmp_path):
         mem = canon(fn(SF_DIR, **kw))
         spill = canon(fn(SF_DIR, spill_dir=str(tmp_path / sub), **kw))
         pd.testing.assert_frame_equal(mem, spill)
+
+
+def test_exhaustive_lsh_configs_equal_exact():
+    """Zero hyperplanes = one bucket = no pruning: the LSH plumbing must
+    reproduce the exact result bit-for-bit (the oracle-config invariant)."""
+    import pandas as pd
+
+    from biomedical_entity_linking_ray.pipelines.dedup import (
+        embedding_near_dup_exact, embedding_near_dup_pairs,
+    )
+    from biomedical_entity_linking_ray.pipelines.similarity import (
+        knn_bruteforce, knn_lsh,
+    )
+
+    bf = knn_bruteforce(SF_DIR, k=3, n_queries=8).to_pandas()
+    ex = knn_lsh(SF_DIR, k=3, n_queries=8, lsh_planes=0, rotations=1).to_pandas()
+    key = ["query_id", "rank", "vec_id", "cosine"]
+    pd.testing.assert_frame_equal(
+        bf[key].sort_values(key).reset_index(drop=True),
+        ex[key].sort_values(key).reset_index(drop=True))
+
+    exact = embedding_near_dup_exact(SF_DIR, threshold=0.4).to_pandas()
+    lsh = embedding_near_dup_pairs(
+        SF_DIR, threshold=0.4, lsh_planes=0, rotations=1,
+        all_pairs_max=1_000_000, dtype="float64").to_pandas()
+    key = ["id_a", "id_b", "cosine"]
+    pd.testing.assert_frame_equal(
+        exact[key].sort_values(key).reset_index(drop=True),
+        lsh[key].sort_values(key).reset_index(drop=True))
