@@ -55,6 +55,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return embed_documents_pipeline(sf_dir)
 
+    def _image_dims(sf_dir: str):
+        import pyarrow as pa
+
+        def cast(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "width": t["width"].cast(pa.int64()),
+                "height": t["height"].cast(pa.int64()),
+                "format": t["format"],
+            })
+
+        return multimodal.image_feature_pipeline(sf_dir).map_batches(
+            cast, batch_format="pyarrow")
+
     def linkage_assignments(sf_dir: str):
         return _linkage_result(sf_dir).assignments
 
@@ -130,6 +144,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": multimodal.image_feature_pipeline,
         "audio_features": multimodal.audio_feature_pipeline,
         "video_frames": multimodal.video_frame_pipeline,
+        # oracle projections: the payload generators derive dims/duration/
+        # frame layout in closed form from splitmix64(doc_id ^ seed), which
+        # the SQL oracle recomputes directly (split-multiply mod 2^64) -- so
+        # a header mis-parse, filter-reconstruction bug or frame-framing bug
+        # in the REAL codecs shows up as a value mismatch end to end
+        # (pixel/sample statistics stay rows-only: SQL cannot decode PNG/WAV)
+        "image_dims": _image_dims,
+        "audio_durations": lambda sf_dir: multimodal.audio_feature_pipeline(
+            sf_dir).select_columns(["doc_id", "duration_sec"]),
+        "video_frame_index": lambda sf_dir: multimodal.video_frame_pipeline(
+            sf_dir).select_columns(["doc_id", "frame_idx"]),
         # --- flagship linkage (no SQL oracle: synthetic files table) ---
         "linkage_assignments": linkage_assignments,
         "linkage_cluster_sizes": linkage_cluster_sizes,
@@ -364,10 +389,58 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
+    # Multimodal dims oracles: the payload generators size every image /
+    # audio clip / frame set in closed form from splitmix64(doc_id ^ 42)
+    # (pipelines/multimodal.py synthesize_*), so SQL recomputes the expected
+    # dims directly -- splitmix64 re-expressed over HUGEINT with
+    # split-multiplication (hi/lo 32-bit halves keep products under 2^96;
+    # a plain 64x64 multiply overflows INT128).
+    M = "18446744073709551616::HUGEINT"
+
+    def _mulmod(x: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"((({x}) * {lo}::HUGEINT) % {M} + "
+                f"((({x}) * {hi}::HUGEINT) % 4294967296::HUGEINT)"
+                f" * 4294967296::HUGEINT) % {M}")
+
+    _sm64 = f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 (xor(doc_id::HUGEINT, 42::HUGEINT)
+                  + 11400714819323198485::HUGEINT) % {M} AS x
+          FROM documents
+        ), s2 AS (
+          SELECT doc_id,
+                 {_mulmod('xor(x, x // 1073741824::HUGEINT)', 0xBF58476D1CE4E5B9)} AS x
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id,
+                 {_mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x
+          FROM s2
+        ), hv AS (
+          SELECT doc_id, xor(x, x // 2147483648::HUGEINT) AS hv FROM s3
+        )
+    """
+    out["image_dims"] = _sm64 + """
+        SELECT doc_id,
+               (8 + hv % 40)::BIGINT AS width,
+               (8 + (hv // 65536::HUGEINT) % 40)::BIGINT AS height,
+               CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS format
+        FROM hv
+    """
+    out["audio_durations"] = _sm64 + """
+        SELECT doc_id,
+               ((2000 + hv % 4000)::DOUBLE / 8000.0) AS duration_sec
+        FROM hv
+    """
+    out["video_frame_index"] = """
+        SELECT d.doc_id, f.frame_idx::BIGINT AS frame_idx
+        FROM documents d CROSS JOIN (VALUES (0), (2), (4)) f(frame_idx)
+    """
     # minhash / simhash (12-bit whp config) / ngram_jaccard (LSH) /
-    # embedding LSH / knn_lsh /
-    # knn_ivf / doc_embeddings / image, audio, video features / linkage_* are
+    # embedding LSH / knn_lsh / knn_ivf (whp configs) / doc_embeddings /
+    # image, audio, video pixel/sample statistics / linkage_* are
     # non-SQL-expressible (sketch-approximate by design, seeded projection
-    # state, synthetic codecs, iterative clustering) -> rows-only checks; each
+    # state, codec output, iterative clustering) -> rows-only checks; each
     # has an exact-counterpart oracle query or a pytest gold check instead.
     return out
