@@ -437,7 +437,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, f.frame_idx::BIGINT AS frame_idx
         FROM documents d CROSS JOIN (VALUES (0), (2), (4)) f(frame_idx)
     """
-    # minhash / simhash (12-bit whp config) / ngram_jaccard (LSH) /
+    # MinHash in SQL -- the ENTIRE default cascade replicated exactly:
+    # 4-char shingle FNV-1a hashes -> one affine permutation (a, b read off
+    # the live MinHasher so the literals cannot drift) -> high-bit binning
+    # into 128 bins, per-bin min -> rotation densification (empty bins borrow
+    # the nearest filled bin to the left circularly, mixed with
+    # splitmix64(donor + bin)) -> 16 bands of 8 slots, candidates share a
+    # band -> signature-agreement estimate >= threshold. The doubled-position
+    # grid (0..255) + last_value IGNORE NULLS window IS the circular left
+    # borrow. Caveat shared with the Ray path: buckets wider than
+    # all_pairs_max window in Ray but not in SQL -- at sf0.01 every band
+    # bucket is far below the bound (verified by the value-exact match).
+    from biomedical_entity_linking_ray.functions.hashing import MinHasher
+
+    _mh = MinHasher(128, 42)
+    _A, _B = int(_mh.a), int(_mh.b)
+    _sm_chain = f"""
+    ), smx1 AS (
+      SELECT doc_id, bin, v, (dx + 11400714819323198485::HUGEINT) % {M} AS x FROM slots0
+    ), smx2 AS (
+      SELECT doc_id, bin, v, {_mulmod('xor(x, x // 1073741824::HUGEINT)', 0xBF58476D1CE4E5B9)} AS x FROM smx1
+    ), smx3 AS (
+      SELECT doc_id, bin, v, {_mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x FROM smx2
+    """
+    out["minhash_near_dup"] = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest([
+          list_reduce(
+            list_concat([14695981039346656037::HUGEINT],
+              [unicode(text[i+j:i+j])::HUGEINT for j in range(0, 4)]),
+            (acc, b) -> ((xor(acc, b) * 1099511628211::HUGEINT) % {M})
+          )
+          for i in range(1, greatest(length(text) - 3, 0) + 1)]) AS h
+      FROM documents
+    ), capped AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM sh) WHERE rn <= 4096
+    ), perm AS (
+      SELECT doc_id, ({_mulmod('h', _A)} + {_B}::HUGEINT) % {M} AS p FROM capped
+    ), binmin AS (
+      SELECT doc_id, (p // 144115188075855872::HUGEINT)::BIGINT AS bin, min(p) AS v
+      FROM perm GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.doc_id, t.range AS pos FROM (SELECT DISTINCT doc_id FROM binmin) d
+      CROSS JOIN range(256) t
+    ), placed AS (
+      SELECT g.doc_id, g.pos, m.v
+      FROM grid g LEFT JOIN binmin m
+        ON m.doc_id = g.doc_id AND m.bin = g.pos % 128
+    ), borrowed AS (
+      SELECT doc_id, pos, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS donor
+      FROM placed
+    ), slots0 AS (
+      SELECT doc_id, pos - 128 AS bin, v,
+             ((donor + (pos - 128)::HUGEINT) % {M}) AS dx
+      FROM borrowed WHERE pos >= 128
+    {_sm_chain}
+    ), slots AS (
+      SELECT doc_id, bin,
+             CASE WHEN v IS NOT NULL THEN v
+                  ELSE xor(x, x // 2147483648::HUGEINT) END AS slot
+      FROM smx3
+    ), sigs AS (
+      SELECT doc_id, list(slot ORDER BY bin) AS sig FROM slots GROUP BY doc_id
+    ), bandtab AS (
+      SELECT doc_id, t.range AS band,
+             list_slice(sig, (t.range * 8 + 1)::INT, (t.range * 8 + 8)::INT) AS bk, sig
+      FROM sigs CROSS JOIN range(16) t
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM bandtab a JOIN bandtab b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           (len(list_filter(range(1, 129), i -> sa[i] = sb[i])))::DOUBLE / 128.0 AS jaccard_est
+    FROM cand
+    WHERE (len(list_filter(range(1, 129), i -> sa[i] = sb[i])))::DOUBLE / 128.0 >= 0.6
+    """
+    # simhash (12-bit whp config) / ngram_jaccard (LSH) /
     # embedding LSH / knn_lsh / knn_ivf (whp configs) / doc_embeddings /
     # image, audio, video pixel/sample statistics / linkage_* are
     # non-SQL-expressible (sketch-approximate by design, seeded projection
