@@ -357,7 +357,7 @@ def oracle_sql() -> dict[str, str]:
     # all-pairs Hamming via bit_count(xor(...)). The Ray side's rotated-prefix
     # LSH is pigeonhole-exact at (prefix_bits=16, rotations=4, max_hamming=3),
     # so the approximate pipeline and the exhaustive SQL agree exactly.
-    out["simhash_near_dup_exact"] = """
+    _simhash_cte = """
         WITH tok AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tk
           FROM documents
@@ -384,10 +384,44 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
           FROM bits GROUP BY doc_id
         )
+    """
+    out["simhash_near_dup_exact"] = _simhash_cte + """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    # Default (whp) simhash config, bucketing replicated exactly: candidates
+    # share a rotated 12-bit prefix for some rotation r in 0..3 (left-rotate
+    # by 16r = multiply mod 2^64 + floor-div for the wrapped bits), verified
+    # at Hamming <= 8. The operator\'s documented per-bucket bound is part of
+    # the semantics and is replicated too: buckets wider than all_pairs_max
+    # (64) enumerate only doc_id-sorted neighbor pairs within window 8.
+    out["simhash_near_dup"] = _simhash_cte + """
+        , pref AS (
+          SELECT doc_id, simhash::HUGEINT AS h, t.range AS r,
+                 (((simhash::HUGEINT * (1::HUGEINT << (16 * t.range)::INT))
+                   % 18446744073709551616::HUGEINT
+                   + simhash::HUGEINT // (1::HUGEINT << (64 - 16 * t.range)::INT))
+                  // 4503599627370496::HUGEINT) AS p
+          FROM sh CROSS JOIN range(4) t
+        ),
+        ranked AS (
+          SELECT doc_id, h, r, p,
+                 row_number() OVER (PARTITION BY r, p ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY r, p) AS n
+          FROM pref
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.h AS ha, b.h AS hb
+          FROM ranked a JOIN ranked b
+            ON a.r = b.r AND a.p = b.p AND a.doc_id < b.doc_id
+           AND (a.n <= 64 OR b.rn - a.rn <= 8)
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha::UBIGINT, hb::UBIGINT)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha::UBIGINT, hb::UBIGINT)) <= 8
     """
     # Multimodal dims oracles: the payload generators size every image /
     # audio clip / frame set in closed form from splitmix64(doc_id ^ 42)
@@ -460,8 +494,8 @@ def oracle_sql() -> dict[str, str]:
     ), smx3 AS (
       SELECT doc_id, bin, v, {_mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x FROM smx2
     """
-    out["minhash_near_dup"] = f"""
-    WITH sh AS (
+    _mh_cand = f"""
+    WITH mh_sh AS (
       SELECT doc_id, unnest([
           list_reduce(
             list_concat([14695981039346656037::HUGEINT],
@@ -473,7 +507,7 @@ def oracle_sql() -> dict[str, str]:
     ), capped AS (
       SELECT doc_id, h FROM (
         SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-        FROM sh) WHERE rn <= 4096
+        FROM mh_sh) WHERE rn <= 4096
     ), perm AS (
       SELECT doc_id, ({_mulmod('h', _A)} + {_B}::HUGEINT) % {M} AS p FROM capped
     ), binmin AS (
@@ -506,17 +540,58 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, list(slot ORDER BY bin) AS sig FROM slots GROUP BY doc_id
     ), bandtab AS (
       SELECT doc_id, t.range AS band,
-             list_slice(sig, (t.range * 8 + 1)::INT, (t.range * 8 + 8)::INT) AS bk, sig
+             list_slice(sig, (t.range * 8 + 1)::INT, (t.range * 8 + 8)::INT) AS bk, sig,
+             row_number() OVER (
+               PARTITION BY t.range,
+                 list_slice(sig, (t.range * 8 + 1)::INT, (t.range * 8 + 8)::INT)
+               ORDER BY doc_id) AS rn,
+             count(*) OVER (
+               PARTITION BY t.range,
+                 list_slice(sig, (t.range * 8 + 1)::INT, (t.range * 8 + 8)::INT)) AS n
       FROM sigs CROSS JOIN range(16) t
     ), cand AS (
+      -- per-bucket bound replicated: all pairs when the bucket fits
+      -- all_pairs_max (64), else doc_id-sorted neighbors within window 8
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
       FROM bandtab a JOIN bandtab b
         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       AND (a.n <= 64 OR b.rn - a.rn <= 8)
     )
+    """
+    out["minhash_near_dup"] = _mh_cand + """
     SELECT id_a, id_b,
            (len(list_filter(range(1, 129), i -> sa[i] = sb[i])))::DOUBLE / 128.0 AS jaccard_est
     FROM cand
     WHERE (len(list_filter(range(1, 129), i -> sa[i] = sb[i])))::DOUBLE / 128.0 >= 0.6
+    """
+    # ngram_jaccard (LSH variant): candidates = the SAME minhash banding at
+    # threshold 0 (every pair sharing a band), verified with the EXACT
+    # token-3-gram Jaccard of ngram_jaccard_exact -- both halves reuse the
+    # proven CTEs verbatim.
+    out["ngram_jaccard"] = _mh_cand + """
+    , toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               )) AS grams
+        FROM toks
+    ),
+    p AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(a.grams, b.grams)) AS inter,
+               len(a.grams) AS na, len(b.grams) AS nb
+        FROM cand c
+        JOIN g a ON a.doc_id = c.id_a
+        JOIN g b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+    FROM p
+    WHERE na + nb - inter > 0 AND inter / (na + nb - inter) >= 0.5
     """
     # simhash (12-bit whp config) / ngram_jaccard (LSH) /
     # embedding LSH / knn_lsh / knn_ivf (whp configs) / doc_embeddings /
