@@ -72,6 +72,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def linkage_assignments(sf_dir: str):
         return _linkage_result(sf_dir).assignments
 
+    def linkage_exact_docs(sf_dir: str):
+        """The REAL flagship pipeline over a driver table, in its exact-only
+        config: two commits of every document (guaranteed exact-duplicate
+        pairs) and tau above the score ceiling, so near-dup edges vanish and
+        clusters are precisely the same-content groups -- which SQL predicts
+        from sha256 alone. Drives features -> contraction -> blocking ->
+        scoring -> CC -> attach end to end with a value-exact oracle."""
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from biomedical_entity_linking_ray.config import LinkageConfig
+        from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+        def to_files(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            paths = [str(int(i)) for i in t["doc_id"].to_pylist()]
+            texts = t["text"].to_pylist()
+            return pa.table({
+                "repo": pa.array(["corpus"] * (2 * n), pa.string()),
+                "path": pa.array(paths + paths, pa.string()),
+                "commit": pa.array(["c0"] * n + ["c1"] * n, pa.string()),
+                "lang": pa.array(["txt"] * (2 * n), pa.string()),
+                "content": pa.array(texts + texts, pa.string()),
+            })
+
+        files = docs.map_batches(to_files, batch_format="pyarrow")
+        res = run_linkage(files, LinkageConfig(tau=1.01))
+        return res.assignments.select_columns(["file_id", "cluster_id"])
+
     def linkage_cluster_sizes(sf_dir: str):
         from biomedical_entity_linking_ray.pipelines.linkage import cluster_summary
 
@@ -155,9 +189,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir).select_columns(["doc_id", "duration_sec"]),
         "video_frame_index": lambda sf_dir: multimodal.video_frame_pipeline(
             sf_dir).select_columns(["doc_id", "frame_idx"]),
-        # --- flagship linkage (no SQL oracle: synthetic files table) ---
+        # --- flagship linkage (synthetic files table: rows-only + pytest
+        # single-process parity; the exact-only config below IS SQL-checked) ---
         "linkage_assignments": linkage_assignments,
         "linkage_cluster_sizes": linkage_cluster_sizes,
+        "linkage_exact_docs": linkage_exact_docs,
     }
 
 
@@ -592,6 +628,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
     FROM p
     WHERE na + nb - inter > 0 AND inter / (na + nb - inter) >= 0.5
+    """
+    # Flagship linkage in its exact-only config over the documents view:
+    # with tau above the score ceiling the only edges are exact-content
+    # contractions, so clusters == sha256(content) groups and the canonical
+    # cluster id is the lexicographically smallest member file_id
+    # (= sha256('corpus|path|commit'), the repo-wide min-id tie-break).
+    out["linkage_exact_docs"] = """
+        WITH f AS (
+          SELECT CAST(doc_id AS VARCHAR) AS path, c.cm, text
+          FROM documents CROSS JOIN (VALUES ('c0'), ('c1')) c(cm)
+        ), ids AS (
+          SELECT sha256('corpus|' || path || '|' || cm) AS file_id,
+                 sha256(text) AS csha
+          FROM f
+        )
+        SELECT file_id, min(file_id) OVER (PARTITION BY csha) AS cluster_id
+        FROM ids
     """
     # simhash (12-bit whp config) / ngram_jaccard (LSH) /
     # embedding LSH / knn_lsh / knn_ivf (whp configs) / doc_embeddings /
