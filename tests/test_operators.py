@@ -44,6 +44,10 @@ def _assert_matches_oracle(name: str, con):
     "embedding_near_dup", "knn_label_recall", "part_returnflag_sets",
     "orders_sample", "order_flag_sequences", "ngram_jaccard_exact",
     "order_stats", "top_order_per_customer", "user_sessions", "event_props_k",
+    "minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
+    "knn_lsh_exhaustive", "embedding_near_dup_lsh_exhaustive",
+    "image_dims", "audio_durations", "video_frame_index",
+    "linkage_exact_docs",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
