@@ -143,9 +143,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
         # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
         # rotated prefixes guarantees a shared bucket, so the LSH recall is
-        # exactly 1.0 and a full SQL oracle applies
+        # exactly 1.0 and a full SQL oracle applies. all_pairs_max is lifted:
+        # the default per-bucket window bound would silently trade away the
+        # recall guarantee on a >64-member prefix bucket (observed at sf0.1)
         "simhash_near_dup_exact": lambda sf_dir: dedup.simhash_near_dup_pairs(
-            sf_dir, max_hamming=3, prefix_bits=16),
+            sf_dir, max_hamming=3, prefix_bits=16, all_pairs_max=1_000_000),
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
         "embedding_near_dup": dedup.embedding_near_dup_exact,

@@ -197,7 +197,7 @@ def minhash_near_dup_pairs(
 
 def simhash_near_dup_pairs(
     sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
-    spill_dir: str | None = None,
+    spill_dir: str | None = None, all_pairs_max: int = 64,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, hamming): SimHash with rotated-prefix bucketing.
 
@@ -257,7 +257,8 @@ def simhash_near_dup_pairs(
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "hamming": d[keep]})
 
-    pairs = within_key_pairs(buckets, "bucket", "doc_id", emit=emit)
+    pairs = within_key_pairs(buckets, "bucket", "doc_id", emit=emit,
+                             all_pairs_max=all_pairs_max)
     return bucketed_aggregate(pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")})
 
 

@@ -47,11 +47,19 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        # money sums in integer micros: int64 addition is associative and
+        # commutative, so the distributed sum is EXACTLY reproducible at any
+        # partitioning (float64 partial sums differ in the 4th decimal at
+        # ~10^5 rows/group and drift further at scale); 10^12-row deployments
+        # would widen to decimal128
+        df["bp_micros"] = np.round(df["l_extendedprice"] * 1e6).astype(np.int64)
+        df["rev_micros"] = np.round(
+            df["l_extendedprice"] * (1.0 - df["l_discount"]) * 1e6
+        ).astype(np.int64)
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_revenue=("revenue", "sum"),
+            bp_micros=("bp_micros", "sum"),
+            rev_micros=("rev_micros", "sum"),
             n_rows=("l_quantity", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -63,10 +71,24 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_revenue", alias_name="sum_revenue"),
+        Sum("bp_micros", alias_name="bp_micros"),
+        Sum("rev_micros", alias_name="rev_micros"),
         Sum("n_rows", alias_name="n_rows"),
     )
+
+    def to_money(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["sum_qty"],
+            "sum_base_price": pc.divide(pc.cast(t["bp_micros"], pa.float64()), 1e6),
+            "sum_revenue": pc.divide(pc.cast(t["rev_micros"], pa.float64()), 1e6),
+            "n_rows": t["n_rows"],
+        })
+
+    out = out.map_batches(to_money, batch_format="pyarrow")
     return _round_cols(out, ["sum_qty", "sum_base_price", "sum_revenue"])
 
 
@@ -120,16 +142,29 @@ def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
     def join_batch(t: pa.Table) -> pa.Table:
         d = ray.get(dim_ref)
         df = t.to_pandas().merge(d, left_on="o_custkey", right_on="c_custkey", how="inner")
+        # same integer-micros exact-sum treatment as pricing_summary
+        df["rev_micros"] = np.round(df["o_totalprice"] * 1e6).astype(np.int64)
         g = df.groupby("n_name", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "size"))
+            rev_micros=("rev_micros", "sum"), n_orders=("o_orderkey", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
         join_batch, batch_format="pyarrow", batch_size=65536
     )
     out = partials.groupby("n_name").aggregate(
-        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+        Sum("rev_micros", alias_name="rev_micros"), Sum("n_orders", alias_name="n_orders")
     )
+
+    def to_money(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": pc.divide(pc.cast(t["rev_micros"], pa.float64()), 1e6),
+            "n_orders": t["n_orders"],
+        })
+
+    out = out.map_batches(to_money, batch_format="pyarrow")
     return _round_cols(out, ["revenue"])
 
 
@@ -300,8 +335,13 @@ def order_flag_sequences(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset"
         return t.append_column("__bucket", pa.array(b))
 
     def seq_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["l_orderkey", "l_shipdate", "l_linenumber"],
-                          kind="mergesort")
+        # l_returnflag last: (shipdate, linenumber) is NOT unique in the data
+        # (84 duplicate triples at sf0.1), so without it "first occurrence"
+        # is engine-dependent; with it the order is total and deterministic
+        # (remaining ties are identical in every projected column)
+        g = g.sort_values(
+            ["l_orderkey", "l_shipdate", "l_linenumber", "l_returnflag"],
+            kind="mergesort")
         first = g.drop_duplicates(["l_orderkey", "l_returnflag"], keep="first")
         out = first.groupby("l_orderkey", sort=False)["l_returnflag"] \
             .agg("|".join).reset_index()
@@ -504,8 +544,10 @@ SQL: dict[str, str] = {
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                     / 1000000.0, 4) AS sum_base_price,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                              AS BIGINT)) / 1000000.0, 4) AS sum_revenue,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -518,7 +560,8 @@ SQL: dict[str, str] = {
     """,
     "revenue_by_nation": """
         SELECT n_name,
-               ROUND(SUM(o_totalprice), 4) AS revenue,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                     / 1000000.0, 4) AS revenue,
                COUNT(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -597,7 +640,8 @@ SQL: dict[str, str] = {
         WITH r AS (
             SELECT l_orderkey, l_returnflag,
                    ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_shipdate, l_linenumber) AS rn
+                                      ORDER BY l_shipdate, l_linenumber,
+                                               l_returnflag) AS rn
             FROM lineitem
         ),
         f AS (
