@@ -39,11 +39,13 @@ def _round_cols(ds: "ray.data.Dataset", cols: list[str], nd: int = 4) -> "ray.da
 # A1/A5 analog: grouped aggregate with map-side partial aggregation
 # ---------------------------------------------------------------------------
 
-def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+def pricing_summary(sf_dir: str, batch_size: int = 65536) -> "ray.data.Dataset":
     """TPC-H-Q1-shaped summary: pre-aggregate per batch inside map_batches
     (combiner), then groupby-sum the tiny partials -- the at-scale pattern for
     skewless aggregation (reference analog: pandas groupby A1,
-    bigbio_utils.py:256-268, without the single-node materialization)."""
+    bigbio_utils.py:256-268, without the single-node materialization).
+    Results are bit-identical at ANY batch_size/partitioning (int64-micros
+    money sums are associative+commutative)."""
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -67,7 +69,7 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     partials = _read(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    ).map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
 
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),

@@ -249,3 +249,18 @@ def test_exhaustive_lsh_configs_equal_exact():
     pd.testing.assert_frame_equal(
         exact[key].sort_values(key).reset_index(drop=True),
         lsh[key].sort_values(key).reset_index(drop=True))
+
+
+def test_pricing_summary_partitioning_invariant():
+    """Money sums are computed in int64 micros, so the distributed aggregate
+    must be BIT-identical under any partitioning -- the combiner shape that
+    makes re-runs reproducible at cluster scale (float64 partial sums are
+    not associative and drift with batch boundaries)."""
+    from biomedical_entity_linking_ray.pipelines.relational import pricing_summary
+
+    def run(bs):
+        df = pricing_summary(SF_DIR, batch_size=bs).to_pandas()
+        return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+    a, b = run(257), run(65536)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
