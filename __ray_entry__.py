@@ -510,6 +510,13 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d CROSS JOIN (VALUES (0), (2), (4)) f(frame_idx)
     """
     # MinHash in SQL -- the ENTIRE default cascade replicated exactly:
+    # SCOPE ASSUMPTION (shared by the ngram oracles below): the SQL shingles
+    # over Unicode codepoints (unicode(text[i:i])) while the Ray side hashes
+    # UTF-8 BYTES, and Python pads docs shorter than shingle_k to one shingle
+    # while the SQL range() emits none -- so the byte-exact equivalence holds
+    # for ASCII corpora with docs >= shingle_k chars (true of the synthetic
+    # documents table at every sf; a non-ASCII corpus would need
+    # encode(text)-based byte semantics in the SQL).
     # 4-char shingle FNV-1a hashes -> one affine permutation (a, b read off
     # the live MinHasher so the literals cannot drift) -> high-bit binning
     # into 128 bins, per-bin min -> rotation densification (empty bins borrow

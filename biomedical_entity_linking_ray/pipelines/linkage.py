@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -233,9 +234,11 @@ def run_linkage(
             lab_ref = ray.put(dict(zip(lab_df["file_id"], lab_df["cluster_id"])))
 
             def attach(t: pa.Table) -> pa.Table:
-                lab = ray.get(lab_ref)
-                reps_col = t["rep_id"].to_pylist()
-                cl = [lab.get(r, r) for r in reps_col]
+                from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+                lab = cached_broadcast(lab_ref)
+                reps_col = pd.Series(t["rep_id"].to_numpy(zero_copy_only=False))
+                cl = reps_col.map(lab).fillna(reps_col).to_numpy()
                 return pa.table({
                     "file_id": t["file_id"], "cluster_id": pa.array(cl, pa.string()),
                     "canonical_id": pa.array(cl, pa.string()),

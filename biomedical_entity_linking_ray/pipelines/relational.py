@@ -52,8 +52,11 @@ def pricing_summary(sf_dir: str, batch_size: int = 65536) -> "ray.data.Dataset":
         # money sums in integer micros: int64 addition is associative and
         # commutative, so the distributed sum is EXACTLY reproducible at any
         # partitioning (float64 partial sums differ in the 4th decimal at
-        # ~10^5 rows/group and drift further at scale); 10^12-row deployments
-        # would widen to decimal128
+        # ~10^5 rows/group and drift further at scale). Headroom: at TPC-H
+        # price magnitudes (~4e10 micros/row) an int64 group sum overflows
+        # SILENTLY around ~2e8 rows/group (~sf300), so deployments beyond
+        # ~1e8 rows per group must widen to decimal128 -- that, not 1e12
+        # total rows, is the migration trigger
         df["bp_micros"] = np.round(df["l_extendedprice"] * 1e6).astype(np.int64)
         df["rev_micros"] = np.round(
             df["l_extendedprice"] * (1.0 - df["l_discount"]) * 1e6
@@ -124,35 +127,76 @@ def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 # J1/J6 analog: broadcast (map-side) join of small dimension tables
 # ---------------------------------------------------------------------------
 
-def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
-    """orders |> broadcast-join customer(+nation) |> grouped revenue.
+def revenue_by_nation(sf_dir: str, broadcast_side_max: int = 2_000_000) -> "ray.data.Dataset":
+    """orders |> join customer(+nation) |> grouped revenue.
 
-    The dimension tables are read once driver-side, `ray.put` once, and each
-    batch does a vectorized pandas merge -- no shuffle of the fact table
-    (reference analog: every join in the reference is a broadcast dict lookup,
-    SURVEY.md 2.4)."""
+    nation (25 rows) is always a broadcast. customer scales WITH the fact
+    table, so its delivery is bounded like every other broadcast in the repo:
+    while the customer dimension fits `broadcast_side_max` it is read once
+    driver-side, `ray.put` once, and each fact batch does a vectorized pandas
+    merge (no shuffle of the fact table -- reference analog: every join in the
+    reference is a broadcast dict lookup, SURVEY.md 2.4); beyond the bound the
+    fact table hash-joins against the customer Dataset (the 10^12-row path)
+    and only the tiny post-join partials shuffle again for the merge."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"]).to_pandas()
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                         columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[
-        ["c_custkey", "n_name"]]
-    dim_ref = ray.put(dim)
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    n_cust = pq.ParquetFile(cust_path).metadata.num_rows
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def join_batch(t: pa.Table) -> pa.Table:
-        d = ray.get(dim_ref)
-        df = t.to_pandas().merge(d, left_on="o_custkey", right_on="c_custkey", how="inner")
+    _P_SCHEMA = pa.schema([("n_name", pa.string()),
+                           ("rev_micros", pa.int64()), ("n_orders", pa.int64())])
+
+    def partial_agg(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _P_SCHEMA.empty_table()
         # same integer-micros exact-sum treatment as pricing_summary
         df["rev_micros"] = np.round(df["o_totalprice"] * 1e6).astype(np.int64)
         g = df.groupby("n_name", as_index=False).agg(
             rev_micros=("rev_micros", "sum"), n_orders=("o_orderkey", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_P_SCHEMA)
 
-    partials = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
-        join_batch, batch_format="pyarrow", batch_size=65536
-    )
+    if n_cust <= broadcast_side_max:
+        cust = pq.read_table(cust_path,
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+        dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[
+            ["c_custkey", "n_name"]]
+        dim_ref = ray.put(dim)
+
+        def join_batch(t: pa.Table) -> pa.Table:
+            from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+            d = cached_broadcast(dim_ref)
+            df = t.to_pandas().merge(d, left_on="o_custkey", right_on="c_custkey",
+                                     how="inner")
+            return partial_agg(df)
+
+        partials = orders.map_batches(
+            join_batch, batch_format="pyarrow", batch_size=65536)
+    else:
+        from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
+
+        nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def add_nation(t: pa.Table) -> pa.Table:
+            from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+            nm = cached_broadcast(nat_ref)
+            names = pd.Series(t["c_nationkey"].to_numpy()).map(nm)
+            return pa.table({"c_custkey": t["c_custkey"],
+                             "n_name": pa.array(names, pa.string())})
+
+        dim_ds = cust_ds.map_batches(add_nation, batch_format="pyarrow")
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        joined = hash_join(orders, dim_ds, "inner", max(8, cpus),
+                           on=("o_custkey",), right_on=("c_custkey",))
+        partials = joined.map_batches(
+            heal_projection(_P_SCHEMA, lambda t: partial_agg(
+                t.select(["o_orderkey", "o_totalprice", "n_name"]).to_pandas())),
+            batch_format="pyarrow", batch_size=65536)
     out = partials.groupby("n_name").aggregate(
         Sum("rev_micros", alias_name="rev_micros"), Sum("n_orders", alias_name="n_orders")
     )

@@ -264,3 +264,16 @@ def test_pricing_summary_partitioning_invariant():
 
     a, b = run(257), run(65536)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_revenue_by_nation_hash_join_fallback(con):
+    """broadcast_side_max=0 forces the partitioned hash-join else-branch (the
+    10^12-row path); result must equal the SQL oracle exactly."""
+    import __ray_entry__ as ent
+
+    from biomedical_entity_linking_ray.pipelines import relational
+
+    rdf = _canon(relational.revenue_by_nation(SF_DIR, broadcast_side_max=0).to_pandas())
+    odf = _canon(con.sql(ent.oracle_sql()["revenue_by_nation"]).df())
+    assert list(rdf.columns) == list(odf.columns)
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False, atol=1e-6)
