@@ -16,6 +16,18 @@ on this Ray build -- fatal with 10^4..10^9 LSH buckets. This helper:
 `emit(g, ia, ib)` builds the output frame from the bucket-sorted DataFrame and
 pair index arrays, so callers attach payloads (simhash, unit vectors, ...)
 without a second join.
+
+Payload delivery (`payload=` / `payload_on=`): callers whose per-row payload
+is large relative to the (key, id) row -- a 256 B minhash signature exploded
+over 16 bands would otherwise cross the bucket shuffle 16x -- pass the payload
+as its own one-row-per-id Dataset. The exploded rows then stay SKINNY through
+the singleton filter and the coarse shuffle; payload columns are attached at
+the last moment, inside the per-coarse-group pass: from a worker-cached
+`ray.put` broadcast while the payload table fits `payload_broadcast_max`
+(zero payload bytes through any shuffle), else via ONE hash join onto the
+singleton-surviving rows (payload crosses the wire once per surviving row --
+the 10^12-doc path; most LSH bands are singletons and never see it). Same
+feats_ref / enrich-once pattern as stages/fused_scoring.py.
 """
 
 from __future__ import annotations
@@ -53,8 +65,17 @@ def within_key_pairs(
     window: int = 8,
     join_partitions: int = 8,
     broadcast_keys_max: int = 2_000_000,
+    payload: "ray.data.Dataset | None" = None,
+    payload_on: str | None = None,
+    payload_broadcast_max: int = 500_000,
 ) -> "ray.data.Dataset":
     emit = emit or default_emit(key_col, id_col)
+    payload_ref = None
+    payload_cols: list[str] = []
+    if payload is not None:
+        payload_on = payload_on or id_col
+        payload = payload.materialize()
+        payload_cols = [c for c in payload.schema().names if c != payload_on]
 
     counts = bucketed_aggregate(
         rows.select_columns([key_col]).map_batches(
@@ -87,8 +108,35 @@ def within_key_pairs(
     else:
         rows = hash_join(rows, multi, "left_semi", join_partitions, on=(key_col,))
 
+    if payload is not None:
+        if payload.count() <= payload_broadcast_max:
+            import ray as _ray
+
+            payload_ref = _ray.put(payload.to_pandas())
+        else:
+            # 10^12-doc path: ONE join ships each surviving row's payload once
+            from biomedical_entity_linking_ray.functions.joins import heal_projection
+
+            joined_schema = pa.schema(
+                [(key_col, rows.schema().field(key_col).type),
+                 (id_col, rows.schema().field(id_col).type)]
+                + [(c, payload.schema().field(c).type) for c in payload_cols])
+            rows = hash_join(
+                rows, payload, "inner", join_partitions,
+                on=(id_col,), right_on=(payload_on,),
+            ).map_batches(
+                heal_projection(joined_schema,
+                                lambda t: t.select(joined_schema.names)),
+                batch_format="pyarrow",
+            )
+
     def add_coarse(t: pa.Table) -> pa.Table:
-        h = hashing.fnv1a_fixed(t[key_col].to_numpy(zero_copy_only=False), width=96)
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            h = hashing.splitmix64(
+                col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = hashing.fnv1a_fixed(col.to_numpy(zero_copy_only=False), width=96)
         b = (h % np.uint64(n_coarse)).astype(np.int64)
         return t.append_column("__coarse", pa.array(b))
 
@@ -97,6 +145,14 @@ def within_key_pairs(
     def pairs_of_coarse(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates([key_col, id_col]).sort_values([key_col, id_col])
         g = g.reset_index(drop=True)
+        if payload_ref is not None and len(g):
+            from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+            idx = cached_broadcast(
+                payload_ref, lambda df: df.set_index(payload_on, drop=False))
+            sel = idx.reindex(g[id_col].to_numpy())
+            for c in payload_cols:
+                g[c] = sel[c].to_numpy()
         n = len(g)
         if n == 0:
             return emit(g, np.array([], np.int64), np.array([], np.int64))

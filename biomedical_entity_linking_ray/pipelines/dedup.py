@@ -125,17 +125,19 @@ def minhash_near_dup_pairs(
 ) -> "ray.data.Dataset":
     """(id_a, id_b, jaccard_est) candidate near-dup pairs above threshold.
 
-    shingle+minhash per batch -> explode (band, hash, doc, SIG) -> bucket
-    groupby -> within-bucket pairs with the signature riding the bucket row,
-    Jaccard-verified in the same pass (the payload-through-bucket pattern,
-    same shape as simhash below) -> cross-band dedup by max estimate. No
-    feature joins.
+    shingle+minhash per batch -> vectorized explode of SKINNY (bucket, doc)
+    rows (bucket = splitmix64-mixed band hash, one int64 -- band identity is
+    preserved up to a 2^-64 cross-band collision) -> singleton drop + coarse
+    bucket groupby -> within-bucket pairs with the signatures delivered by
+    `within_key_pairs`' payload path (broadcast while the sketch table fits,
+    ONE enrich join beyond -- never sig x bands through the shuffle),
+    Jaccard-verified in the same pass -> cross-band dedup by max estimate.
 
-    The skinny sketch table (id + num_perm*8 bytes/doc; text dropped) is
-    branch-consumed by the pair enumerator (singleton-bucket drop + coarse
-    groupby), so it is pinned once -- in the object store by default (spills
-    under pressure), or as a Parquet checkpoint when `spill_dir` is given
-    (the 100-TB path: lineage on disk, object store stays free).
+    The sketch table (id + num_perm*8 bytes/doc; text dropped) is consumed by
+    both the explode and the payload side, so it is pinned once -- in the
+    object store by default (spills under pressure), or as a Parquet
+    checkpoint when `spill_dir` is given (the 100-TB path: lineage on disk,
+    object store stays free).
     """
     import functools
 
@@ -150,22 +152,19 @@ def minhash_near_dup_pairs(
     else:
         sketches = sketches.materialize()
 
+    band_salt = hashing.splitmix64(np.arange(1, bands + 1, dtype=np.uint64))
+
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        sig_list = t["sig"].to_pylist()
-        sigs = np.frombuffer(b"".join(sig_list), dtype=np.uint64).reshape(n, num_perm)
-        bh = hashing.band_hashes_batch(sigs, bands)
-        ids = t["doc_id"].to_pylist()
-        keys, out_ids, out_sigs = [], [], []
-        for i in range(n):
-            for b in range(bands):
-                keys.append(f"{b}:{bh[i, b]:016x}")
-                out_ids.append(ids[i])
-                out_sigs.append(sig_list[i])
+        sigs = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64
+                             ).reshape(n, num_perm)
+        bh = hashing.band_hashes_batch(sigs, bands)          # (n, bands)
+        bucket = hashing.splitmix64(
+            (bh ^ band_salt[None, :]).ravel()).view(np.int64)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), bands)
         return pa.table({
-            "bucket": pa.array(keys, pa.string()),
-            "doc_id": pa.array(out_ids, pa.int64()),
-            "sig": pa.array(out_sigs, pa.binary()),
+            "bucket": pa.array(bucket),
+            "doc_id": pa.array(ids, pa.int64()),
         })
 
     buckets = sketches.map_batches(explode, batch_format="pyarrow", batch_size=2048)
@@ -186,7 +185,8 @@ def minhash_near_dup_pairs(
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "jaccard_est": j[keep]})
 
-    pairs = within_key_pairs(buckets, "bucket", "doc_id", emit=emit)
+    pairs = within_key_pairs(buckets, "bucket", "doc_id", emit=emit,
+                             payload=sketches)
     return bucketed_aggregate(pairs, ["id_a", "id_b"],
                               {"jaccard_est": ("jaccard_est", "max")})
 
@@ -228,20 +228,20 @@ def simhash_near_dup_pairs(
     rotations = 4
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
+        # fully vectorized: bucket = r * 2^prefix_bits + prefix (one int64,
+        # bijective with the (rotation, prefix) pair). The 8-byte simhash
+        # payload rides the bucket row -- skinnier than any id join.
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         hs = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
-        keys, out_ids, out_hs = [], [], []
+        keys = np.empty(rotations * hs.size, dtype=np.int64)
         for r in range(rotations):
             rot = ((hs << np.uint64(r * 16)) | (hs >> np.uint64(64 - r * 16))).astype(np.uint64)
             pref = (rot >> np.uint64(64 - prefix_bits)).astype(np.int64)
-            for i, p in enumerate(pref):
-                keys.append(f"{r}:{p}")
-                out_ids.append(ids[i])
-                out_hs.append(int(hs[i]))
+            keys[r * hs.size:(r + 1) * hs.size] = (np.int64(r) << np.int64(prefix_bits)) + pref
         return pa.table({
-            "bucket": pa.array(keys, pa.string()),
-            "doc_id": pa.array(out_ids, pa.int64()),
-            "simhash": pa.array(np.asarray(out_hs, dtype=np.uint64)),
+            "bucket": pa.array(keys),
+            "doc_id": pa.array(np.tile(ids, rotations), pa.int64()),
+            "simhash": pa.array(np.tile(hs, rotations)),
         })
 
     buckets = sk.map_batches(explode, batch_format="pyarrow", batch_size=2048)
@@ -514,6 +514,10 @@ def embedding_near_dup_pairs(
     Random-hyperplane LSH buckets (rotations x sign-prefix) bound the pair
     enumeration; exact cosine verification inside each bucket (rounded to 4
     decimals BEFORE thresholding, the SQL-reproducibility convention).
+    Exploded rows are SKINNY (bucket = r * 2^planes + sign-code int64,
+    vec_id); the unit vectors are computed once into a payload table and
+    delivered by `within_key_pairs`' broadcast/enrich path -- never
+    unit x rotations through the bucket shuffle.
 
     `lsh_planes=0` is the oracle config: zero hyperplanes put every vector in
     one bucket, so with `all_pairs_max >= n` the in-bucket verify enumerates
@@ -528,29 +532,39 @@ def embedding_near_dup_pairs(
     import ray as _ray
     planes_ref = _ray.put(planes)
 
-    def explode(t: pa.Table) -> pa.Table:
-        pls = _ray.get(planes_ref)
-        n = t.num_rows
+    def unitize(t: pa.Table) -> pa.Table:
         vecs = np.array(t["embedding"].to_pylist(), dtype=dtype)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        ids = t["vec_id"].to_pylist()
-        keys, out_ids, out_vec = [], [], []
-        for r, P in enumerate(pls):
-            signs = (unit @ P.T) > 0  # (n, planes)
-            codes = (signs * (1 << np.arange(lsh_planes))).sum(axis=1)
-            for i in range(n):
-                keys.append(f"{r}:{codes[i]}")
-                out_ids.append(ids[i])
-                out_vec.append(unit[i].tobytes())
         return pa.table({
-            "bucket": pa.array(keys, pa.string()),
-            "vec_id": pa.array(out_ids, pa.int64()),
-            "unit": pa.array(out_vec, pa.binary()),
+            "vec_id": t["vec_id"],
+            "unit": pa.array([unit[i].tobytes() for i in range(len(unit))],
+                             pa.binary()),
         })
 
-    buckets = emb.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+    units = emb.map_batches(unitize, batch_format="pyarrow",
+                            batch_size=2048).materialize()
+    dim = len(units.take(1)[0]["unit"]) // np.dtype(dtype).itemsize
+
+    def explode(t: pa.Table) -> pa.Table:
+        pls = _ray.get(planes_ref)
+        n = t.num_rows
+        unit = np.frombuffer(b"".join(t["unit"].to_pylist()), dtype=dtype
+                             ).reshape(n, dim)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keys = np.empty(len(pls) * n, dtype=np.int64)
+        for r, P in enumerate(pls):
+            signs = (unit @ P.T) > 0  # (n, planes)
+            codes = (signs * (1 << np.arange(lsh_planes))).sum(axis=1) \
+                if lsh_planes else np.zeros(n, dtype=np.int64)
+            keys[r * n:(r + 1) * n] = (np.int64(r) << np.int64(lsh_planes)) + codes
+        return pa.table({
+            "bucket": pa.array(keys),
+            "vec_id": pa.array(np.tile(ids, len(pls)), pa.int64()),
+        })
+
+    buckets = units.map_batches(explode, batch_format="pyarrow", batch_size=2048)
 
     from biomedical_entity_linking_ray.functions.candidate_pairs import within_key_pairs
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
@@ -568,5 +582,6 @@ def embedding_near_dup_pairs(
                              "cosine": c[keep]})
 
     pairs = within_key_pairs(buckets, "bucket", "vec_id", emit=emit,
-                             all_pairs_max=all_pairs_max)
+                             all_pairs_max=all_pairs_max,
+                             payload=units)
     return bucketed_aggregate(pairs, ["id_a", "id_b"], {"cosine": ("cosine", "max")})
