@@ -17,6 +17,20 @@ from typing import Any
 
 
 _LINKAGE_CACHE: dict[str, Any] = {}
+_PLANTED_CACHE: dict[str, Any] = {}
+
+
+def _planted_linkage(sf_dir: str):
+    """Default-config flagship over the planted oracle corpus (shared by
+    linkage_assignments + linkage_cluster_sizes)."""
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+    from biomedical_entity_linking_ray.synth import planted_files_from_docs
+
+    if sf_dir not in _PLANTED_CACHE:
+        _PLANTED_CACHE[sf_dir] = run_linkage(
+            planted_files_from_docs(sf_dir), LinkageConfig())
+    return _PLANTED_CACHE[sf_dir]
 
 
 def _linkage_result(sf_dir: str):
@@ -70,6 +84,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cast, batch_format="pyarrow")
 
     def linkage_assignments(sf_dir: str):
+        """The REAL flagship pipeline in its DEFAULT config (near-dup scoring
+        active, tau=0.62) over the planted corpus derived from documents
+        (synth.planted_files_from_docs): exact-dup commits, near-dup chains
+        and singletons whose cluster structure SQL derives in closed form --
+        features -> contraction -> minhash-band+path blocking -> weighted
+        scoring -> threshold -> connected components -> attach, all
+        value-exact against the oracle."""
+        return _planted_linkage(sf_dir).assignments
+
+    def linkage_synth_assignments(sf_dir: str):
+        """Default config over the adversarial synthetic files corpus (hot
+        vendored block > salt_cap, hard negatives, cross-lang decoys) --
+        rows-only under the driver; pinned by pytest gold-cluster checks
+        (pairwise F1) and the single-process oracle parity suite."""
         return _linkage_result(sf_dir).assignments
 
     def linkage_exact_docs(sf_dir: str):
@@ -109,7 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def linkage_cluster_sizes(sf_dir: str):
         from biomedical_entity_linking_ray.pipelines.linkage import cluster_summary
 
-        return cluster_summary(_linkage_result(sf_dir))
+        return cluster_summary(_planted_linkage(sf_dir))
 
     return {
         # --- relational operator battery (SQL-checked) ---
@@ -191,10 +219,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir).select_columns(["doc_id", "duration_sec"]),
         "video_frame_index": lambda sf_dir: multimodal.video_frame_pipeline(
             sf_dir).select_columns(["doc_id", "frame_idx"]),
-        # --- flagship linkage (synthetic files table: rows-only + pytest
-        # single-process parity; the exact-only config below IS SQL-checked) ---
+        # --- flagship linkage ---
+        # linkage_assignments / linkage_cluster_sizes: DEFAULT config over the
+        # planted corpus -- value-exact SQL oracle (closed-form cluster
+        # structure; see synth.planted_files_from_docs for the soundness
+        # argument). linkage_synth_assignments: default config over the
+        # adversarial synthetic corpus (hot block, decoys) -- rows-only here,
+        # pinned by pytest gold F1 + single-process parity.
+        # linkage_exact_docs: tau-above-ceiling config, sha-group oracle.
         "linkage_assignments": linkage_assignments,
         "linkage_cluster_sizes": linkage_cluster_sizes,
+        "linkage_synth_assignments": linkage_synth_assignments,
         "linkage_exact_docs": linkage_exact_docs,
     }
 
@@ -655,10 +690,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT file_id, min(file_id) OVER (PARTITION BY csha) AS cluster_id
         FROM ids
     """
+    # DEFAULT-config flagship over the planted corpus. The Ray side runs the
+    # real pipeline (features -> contraction -> minhash-band + path blocking
+    # -> weighted scoring at tau=0.62 -> CC -> attach) on files derived from
+    # documents.doc_id alone; the corpus is constructed so the resulting
+    # clusters EQUAL the planted per-doc groups (soundness argument in
+    # synth.planted_files_from_docs' docstring: deterministic path-key
+    # co-blocking, >= ~0.2 score margin on every within-group edge, disjoint
+    # sha-hex content across groups). SQL rebuilds the identical file set --
+    # token CASE mirrored from synth._planted_token -- and labels each group
+    # by its min file_id, which is exactly the pipeline's min-id canonical
+    # (clustering.py:91-94): min over component of per-sha rep mins == global
+    # min of the group. A missed block, an underscored edge, an overmerged
+    # pair, or a broken CC/attach all surface as value mismatches.
+    _planted_files = """
+        WITH docs4 AS (SELECT doc_id AS d, doc_id % 4 AS m FROM documents),
+        fv AS (
+          SELECT d, v.v, 'v' || v.v::VARCHAR || 'c' || k.k::VARCHAR AS cm
+          FROM docs4, (VALUES (0),(1),(2)) v(v), (VALUES (0),(1)) k(k)
+          WHERE (m = 0)
+             OR (m = 1 AND v.v = 0)
+             OR (m = 2 AND v.v = 0 AND k.k = 0)
+             OR (m = 3 AND v.v <= 1 AND k.k = 0)
+        ),
+        tok AS (
+          SELECT d, cm,
+            array_to_string(list_transform(range(0, 24), i ->
+              CASE WHEN v >= 1 AND i = 23 THEN sha256(d::VARCHAR || ':a1')
+                   WHEN v = 2 AND i = 0 THEN sha256(d::VARCHAR || ':a2')
+                   ELSE sha256(d::VARCHAR || ':t:' || i::VARCHAR) END), ' ')
+              AS content
+          FROM fv
+        ),
+        ids AS (
+          SELECT d, cm, content,
+            sha256('corpus|docs/f' || d::VARCHAR || '.txt|' || cm) AS file_id
+          FROM tok
+        )
+    """
+    out["linkage_assignments"] = _planted_files + """
+        SELECT file_id,
+               min(file_id) OVER (PARTITION BY d) AS cluster_id,
+               min(file_id) OVER (PARTITION BY d) AS canonical_id,
+               sha256(content) AS content_sha,
+               'corpus' AS repo,
+               'docs/f' || d::VARCHAR || '.txt' AS path,
+               cm AS "commit",
+               'txt' AS lang
+        FROM ids
+    """
+    out["linkage_cluster_sizes"] = _planted_files + """
+        , asn AS (
+          SELECT min(file_id) OVER (PARTITION BY d) AS cluster_id, 'txt' AS lang
+          FROM ids
+        )
+        SELECT cluster_id, count(*) AS "size", count(DISTINCT lang) AS n_langs
+        FROM asn GROUP BY cluster_id HAVING count(*) >= 2
+    """
     # simhash (12-bit whp config) / ngram_jaccard (LSH) /
     # embedding LSH / knn_lsh / knn_ivf (whp configs) / doc_embeddings /
-    # image, audio, video pixel/sample statistics / linkage_* are
-    # non-SQL-expressible (sketch-approximate by design, seeded projection
-    # state, codec output, iterative clustering) -> rows-only checks; each
-    # has an exact-counterpart oracle query or a pytest gold check instead.
+    # image, audio, video pixel/sample statistics / linkage_synth_assignments
+    # are non-SQL-expressible (sketch-approximate by design, seeded projection
+    # state, codec output, adversarial synthetic input) -> rows-only checks;
+    # each has an exact-counterpart oracle query or a pytest gold check instead.
     return out

@@ -366,3 +366,86 @@ def synth_config_for_sf_dir(sf_dir: str) -> SynthConfig:
     except ValueError:
         sf = 0.01
     return SynthConfig().scaled(max(sf * 100.0, 0.05))
+
+
+# ---------------------------------------------------------------------------
+# Planted oracle corpus for the DEFAULT flagship config
+# ---------------------------------------------------------------------------
+
+PLANTED_TOKENS = 24  # sha256-hex tokens per planted file (~1.6 KB content)
+
+
+def _planted_token(d: int, v: int, i: int) -> str:
+    """Token i of variant v of doc d. Mirrored EXACTLY by the SQL oracle in
+    __ray_entry__ (CASE over the same three branches)."""
+    import hashlib
+
+    if v >= 1 and i == PLANTED_TOKENS - 1:
+        return hashlib.sha256(f"{d}:a1".encode()).hexdigest()
+    if v == 2 and i == 0:
+        return hashlib.sha256(f"{d}:a2".encode()).hexdigest()
+    return hashlib.sha256(f"{d}:t:{i}".encode()).hexdigest()
+
+
+def planted_files_from_docs(sf_dir: str) -> "object":
+    """Files table derived deterministically from documents.doc_id ONLY, for
+    which the DEFAULT LinkageConfig provably produces clusters == planted
+    per-doc groups -- the value-exact oracle corpus for `linkage_assignments`.
+
+    Per doc_id d (group = d), by d % 4 (commit = 'v{v}c{k}' so every file has
+    a distinct (path, commit) identity; k indexes the exact copy):
+    - 0: variants {base, v1, v2} x copies {0, 1}      (6 files; v1 = base with
+         the last sha-token replaced, v2 = v1 with the first replaced -- a
+         near-dup CHAIN, so connected components must transit v1)
+    - 1: base x copies {0, 1}                         (exact-dup pair)
+    - 2: base x copy {0}                              (singleton)
+    - 3: {base, v1} x copy {0}                        (near-dup-only pair)
+
+    Why the prediction is sound under the DEFAULT config:
+    - within a group every file shares path `docs/f{d}.txt` and lang, so the
+      path-stem block key co-blocks the group's reps DETERMINISTICALLY
+      (banding adds further co-blocks; all groups are far below salt_cap);
+    - within-group rep pairs differ in <= 2 of 24 high-entropy sha tokens:
+      Jaro-Winkler(path)=1.0, minhash-Jaccard >= ~0.85, TF-cosine >= ~0.9,
+      so score >= ~0.85 >> tau=0.62 with a margin no estimator noise crosses
+      (and the v2 chain makes the cluster robust even to a lost single edge);
+    - across groups contents are disjoint sha-hex streams (shingle Jaccard
+      ~0.01): a shared band needs 6 consecutive equal 16-bit slots
+      (~1e-12/band/pair -- absent at every test sf, and even then the pair
+      scores ~0.25 < tau because stems differ and sketches disagree).
+
+    Reference analog: gold-cluster construction from deterministic keys,
+    bioel data_process.py:491-514; evaluated end to end like
+    eval_cluster_linking.py:90-146.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def to_files(t: pa.Table) -> pa.Table:
+        repos, paths, commits, langs, contents = [], [], [], [], []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            m = d % 4
+            variants = (0, 1, 2) if m == 0 else (0, 1) if m == 3 else (0,)
+            copies = (0, 1) if m in (0, 1) else (0,)
+            path = f"docs/f{d}.txt"
+            for v in variants:
+                content = " ".join(
+                    _planted_token(d, v, i) for i in range(PLANTED_TOKENS))
+                for k in copies:
+                    repos.append("corpus")
+                    paths.append(path)
+                    commits.append(f"v{v}c{k}")
+                    langs.append("txt")
+                    contents.append(content)
+        return pa.table({
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        })
+
+    return docs.map_batches(to_files, batch_format="pyarrow")
