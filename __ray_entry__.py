@@ -134,6 +134,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = run_linkage(files, LinkageConfig(tau=1.01))
         return res.assignments.select_columns(["file_id", "cluster_id"])
 
+    def umls_canonical(sf_dir: str):
+        """S8 composite UMLS loader end to end: a synthetic MRCONSO/MRRANK
+        pair is derived deterministically from documents.doc_id (driver-side
+        input prep, cached per sf dir), then read_umls runs the real pipe-CSV
+        -> MRRANK merge -> lang filter -> groupby(cui) alias-set ->
+        rank-canonical top-1 cascade. The fixture plants FRE rows (lang
+        filter), an unranked (sab,tty) combo (inner-merge drop) and competing
+        ranks per CUI. aliases are '|'-joined for the value-hash compare."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from biomedical_entity_linking_ray.sources.readers import read_umls
+
+        base = os.path.basename(os.path.normpath(sf_dir))
+        d = f"/tmp/bel_umls_{base}"
+        done = os.path.join(d, ".done")
+        if not os.path.exists(done):
+            os.makedirs(d, exist_ok=True)
+            ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id"])["doc_id"].to_pylist()
+            with open(os.path.join(d, "MRCONSO.RRF"), "w") as f:
+                for i in sorted(int(x) for x in ids):
+                    cui = f"C{i // 4:07d}"
+                    sab = "SABA" if i % 2 == 0 else "SABB"
+                    tty = "PN" if (i // 2) % 2 == 0 else "SY"
+                    lng = "FRE" if i % 10 == 7 else "ENG"
+                    fields = [cui, lng, "P", f"L{i}", "PF", f"S{i}", "Y",
+                              f"A{i}", "", "", "", sab, tty, f"K{i}",
+                              f"alias {i}", "0", "N", ""]
+                    f.write("|".join(fields) + "|\n")
+            with open(os.path.join(d, "MRRANK.RRF"), "w") as f:
+                f.write("400|SABA|PN|N|\n300|SABA|SY|N|\n200|SABB|PN|N|\n")
+            with open(done, "w") as f:
+                f.write("ok")
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "cui": t["cui"], "name": t["name"],
+                "aliases": pa.array(
+                    ["|".join(a) for a in t["aliases"].to_pylist()],
+                    pa.string()),
+                "num_aliases": t["num_aliases"].cast(pa.int64()),
+            })
+
+        return read_umls(d).map_batches(proj, batch_format="pyarrow")
+
     def linkage_cluster_sizes(sf_dir: str):
         from biomedical_entity_linking_ray.pipelines.linkage import cluster_summary
 
@@ -219,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir).select_columns(["doc_id", "duration_sec"]),
         "video_frame_index": lambda sf_dir: multimodal.video_frame_pipeline(
             sf_dir).select_columns(["doc_id", "frame_idx"]),
+        # --- composite UMLS loader (S8) over a documents-derived fixture ---
+        "umls_canonical": umls_canonical,
         # --- flagship linkage ---
         # linkage_assignments / linkage_cluster_sizes: DEFAULT config over the
         # planted corpus -- value-exact SQL oracle (closed-form cluster
@@ -689,6 +739,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT file_id, min(file_id) OVER (PARTITION BY csha) AS cluster_id
         FROM ids
+    """
+    # Composite UMLS loader: SQL rebuilds the same synthetic MRCONSO rows from
+    # documents.doc_id (the Ray query writes them to disk and runs the REAL
+    # pipe-CSV reader + rank-merge + set-agg + top-1 cascade on them).
+    out["umls_canonical"] = """
+        WITH rows0 AS (
+          SELECT doc_id AS i,
+                 'C' || lpad((doc_id // 4)::VARCHAR, 7, '0') AS cui0,
+                 'alias ' || doc_id::VARCHAR AS alias,
+                 CASE WHEN doc_id % 2 = 0 THEN 'SABA' ELSE 'SABB' END AS sab,
+                 CASE WHEN (doc_id // 2) % 2 = 0 THEN 'PN' ELSE 'SY' END AS tty,
+                 CASE WHEN doc_id % 10 = 7 THEN 'FRE' ELSE 'ENG' END AS lang
+          FROM documents
+        ),
+        kept AS (
+          SELECT cui0, alias,
+                 CASE WHEN sab = 'SABA' AND tty = 'PN' THEN 450
+                      WHEN sab = 'SABA' AND tty = 'SY' THEN 550
+                      WHEN sab = 'SABB' AND tty = 'PN' THEN 650 END AS rank
+          FROM rows0
+          WHERE lang = 'ENG' AND NOT (sab = 'SABB' AND tty = 'SY')
+        ),
+        named AS (
+          SELECT cui0, alias, rank,
+                 row_number() OVER (PARTITION BY cui0
+                                    ORDER BY rank, alias) AS rn
+          FROM kept
+        ),
+        nm AS (SELECT cui0, alias AS name FROM named WHERE rn = 1),
+        agg AS (
+          SELECT cui0, list_sort(list_distinct(list(alias))) AS al
+          FROM kept GROUP BY cui0
+        )
+        SELECT 'UMLS:' || a.cui0 AS cui, nm.name,
+               array_to_string(list_filter(a.al, x -> x <> nm.name), '|')
+                 AS aliases,
+               len(list_filter(a.al, x -> x <> nm.name))::BIGINT
+                 AS num_aliases
+        FROM agg a JOIN nm ON a.cui0 = nm.cui0
     """
     # DEFAULT-config flagship over the planted corpus. The Ray side runs the
     # real pipeline (features -> contraction -> minhash-band + path blocking

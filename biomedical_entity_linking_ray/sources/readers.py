@@ -285,3 +285,91 @@ def read_delimited_table(
         paths, parse_options=parse_options,
         **({"read_options": read_options} if read_options else {}),
     )
+
+
+# MRCONSO.RRF fixed column layout (18 data fields + trailing delimiter)
+_MRCONSO_COLS = [
+    "cui", "lang", "term_status", "lui", "stt", "sui", "ispref", "aui",
+    "saui", "scui", "sdui", "sab", "tty", "code", "alias", "srl",
+    "suppress", "cvf", "null_col",
+]
+_MRRANK_COLS = ["rank", "sab", "tty", "suppress", "null_col"]
+
+
+def read_umls(umls_dir: str, lang: str = "ENG") -> "ray.data.Dataset":
+    """Composite UMLS ontology loader (S8): MRCONSO pipe-CSV + MRRANK merge
+    -> one row per CUI with the rank-canonical name and the alias set.
+
+    Semantics follow the reference cascade (umls_utils.py:83-237 `_load_umls`
+    + `get_canonical_name`; ontology.py:326-408 `load_umls`):
+    - MRCONSO.RRF parsed pipe-delimited with the fixed 19-column layout;
+    - MRRANK.RRF supplies (sab, tty) -> rank, remapped to 850 - rank so
+      SMALLER is better, inner-merged (rows whose (sab, tty) is unranked
+      drop, as in the reference merge);
+    - rows filtered to `lang`;
+    - per CUI: canonical ``name`` = alias of the min-rank row, ``aliases`` =
+      sorted distinct aliases minus the name, ``cui`` prefixed 'UMLS:'.
+    Documented deviation: the reference's groupby.idxmin breaks equal-rank
+    ties by FILE ORDER; here ties break by (rank, alias) so the result is
+    deterministic under parallel, unordered blocks (repo invariant).
+
+    Ray-Data-first: MRRANK is tiny and rides a `ray.put` broadcast (vectorized
+    pandas merge per batch -- no shuffle of MRCONSO for the rank attach);
+    MRCONSO streams through map_batches; ONE bucketed groupby on cui.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions import hashing
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    rank_df = read_delimited_table(
+        os.path.join(umls_dir, "MRRANK.RRF"), column_names=_MRRANK_COLS,
+    ).to_pandas()[["rank", "sab", "tty"]]
+    rank_df["rank"] = 850 - rank_df["rank"].astype(np.int64)
+    rank_ref = _ray.put(rank_df)
+
+    conso = read_delimited_table(
+        os.path.join(umls_dir, "MRCONSO.RRF"), column_names=_MRCONSO_COLS)
+
+    def attach_rank(t: pa.Table) -> pa.Table:
+        df = t.select(["cui", "lang", "sab", "tty", "alias"]).to_pandas()
+        df = df[df["lang"] == lang]
+        rk = cached_broadcast(rank_ref)
+        df = df.merge(rk, on=["sab", "tty"], how="inner")
+        return pa.table({
+            "cui": pa.array(df["cui"], pa.string()),
+            "alias": pa.array(df["alias"], pa.string()),
+            "rank": pa.array(df["rank"].to_numpy(np.int64)),
+        })
+
+    rows = conso.map_batches(attach_rank, batch_format="pyarrow")
+
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hashing.fnv1a_fixed(t["cui"].to_numpy(zero_copy_only=False), width=32)
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def agg_cui(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cui", "rank", "alias"])
+        name = g.groupby("cui", sort=True)["alias"].first()
+        out = pd.DataFrame({"cui0": name.index, "name": name.to_numpy()})
+        alias_sets = g.groupby("cui", sort=True)["alias"].agg(
+            lambda s: sorted(set(s)))
+        out["aliases"] = [
+            [a for a in al if a != nm]
+            for al, nm in zip(alias_sets.to_numpy(), out["name"])
+        ]
+        out["num_aliases"] = [len(a) for a in out["aliases"]]
+        out["cui"] = "UMLS:" + out["cui0"]
+        return out[["cui", "name", "aliases", "num_aliases"]]
+
+    return (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(agg_cui, batch_format="pandas")
+    )

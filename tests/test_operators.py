@@ -48,6 +48,7 @@ def _assert_matches_oracle(name: str, con):
     "knn_lsh_exhaustive", "embedding_near_dup_lsh_exhaustive",
     "image_dims", "audio_durations", "video_frame_index",
     "linkage_exact_docs", "linkage_assignments", "linkage_cluster_sizes",
+    "umls_canonical",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)

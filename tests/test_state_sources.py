@@ -107,3 +107,32 @@ def test_files_table_reader_prunes(small_corpus, tmp_path):
     df = ds.to_pandas()
     assert set(df.columns) == {"repo", "lang"}
     assert (df["lang"] == "python").all()
+
+
+def test_read_umls_composite(tmp_path):
+    """S8 composite loader on a tiny MRCONSO/MRRANK fixture: rank-canonical
+    name, alias set minus name, lang filter, unranked-(sab,tty) drop,
+    UMLS: prefix (ref umls_utils.py:83-237 + ontology.py:326-408)."""
+    from biomedical_entity_linking_ray.sources.readers import read_umls
+
+    def conso_line(cui, lng, sab, tty, alias):
+        fields = [cui, lng, "P", "L1", "PF", "S1", "Y", "A1", "", "", "",
+                  sab, tty, "K1", alias, "0", "N", ""]
+        return "|".join(fields) + "|"
+
+    (tmp_path / "MRCONSO.RRF").write_text("\n".join([
+        conso_line("C1", "ENG", "MSH", "MH", "b name"),     # rank 850-700=150
+        conso_line("C1", "ENG", "MSH", "MH", "a name"),     # ties -> min alias
+        conso_line("C1", "ENG", "SNOMED", "PT", "z alias"), # rank 850-800=50 -> canonical
+        conso_line("C1", "ENG", "JUNK", "XX", "dropped"),   # unranked -> inner-merge drop
+        conso_line("C1", "FRE", "MSH", "MH", "nom"),        # lang filter
+        conso_line("C2", "ENG", "MSH", "MH", "only"),       # singleton alias == name
+    ]) + "\n")
+    (tmp_path / "MRRANK.RRF").write_text("800|SNOMED|PT|N|\n700|MSH|MH|N|\n")
+
+    out = read_umls(str(tmp_path)).to_pandas().sort_values("cui").reset_index(drop=True)
+    assert list(out["cui"]) == ["UMLS:C1", "UMLS:C2"]
+    assert list(out["name"]) == ["z alias", "only"]
+    assert list(out["aliases"][0]) == ["a name", "b name"]
+    assert list(out["aliases"][1]) == []
+    assert list(out["num_aliases"]) == [2, 0]
