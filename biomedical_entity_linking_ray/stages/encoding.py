@@ -58,33 +58,83 @@ class DocEncoder:
         })
 
 
+# ---------------------------------------------------------------------------
+# Encoder registry (SURVEY 2.11 extension surface)
+# ---------------------------------------------------------------------------
+# The reference hangs its whole model zoo off one slot: a config-named encoder
+# class constructed once per worker and applied per batch (model registry,
+# bioel model.py:31-206; embed_and_index, data_process.py:565-684; sapbert
+# embed_dense, model_wrapper.py:169-233). Same contract here:
+#
+#   class MyEncoder:
+#       def __init__(self, **kwargs): ...      # model load -- ONCE per actor
+#       def __call__(self, t: pa.Table) -> pa.Table:
+#           # (doc_id, text) -> (doc_id, embedding list<float32>)
+#
+# register_encoder("my_model", MyEncoder) makes it reachable by name from
+# encode_documents / embed_documents_pipeline (and so from job configs, which
+# carry plain strings). The default "projection" encoder is the deterministic
+# stand-in above; a real transformer drops in without touching pipeline code.
+
+ENCODER_REGISTRY: dict[str, type] = {"projection": DocEncoder}
+
+
+def register_encoder(name: str, cls: type) -> None:
+    """Register an encoder class under a config-addressable name."""
+    ENCODER_REGISTRY[name] = cls
+
+
+def resolve_encoder(encoder: "str | type") -> type:
+    """Name -> class via the registry; a class passes through unchanged."""
+    if isinstance(encoder, str):
+        try:
+            return ENCODER_REGISTRY[encoder]
+        except KeyError:
+            raise KeyError(
+                f"unknown encoder {encoder!r}; registered: "
+                f"{sorted(ENCODER_REGISTRY)}") from None
+    return encoder
+
+
 def encode_documents(
     docs: "ray.data.Dataset",
     out_dim: int = 64,
     concurrency: int | None = None,
     batch_size: int = 512,
+    encoder: "str | type" = "projection",
+    encoder_kwargs: dict | None = None,
 ) -> "ray.data.Dataset":
     """docs(doc_id, text) -> (doc_id, embedding list<float32>) via the warm
-    encoder actor pool."""
+    encoder actor pool. `encoder` is a registry name or a class honoring the
+    registry contract; kwargs reach its __init__ (once per actor)."""
     from biomedical_entity_linking_ray.stages.normalize import pool_size
 
+    cls = resolve_encoder(encoder)
+    kwargs = dict(encoder_kwargs or {})
+    if cls is DocEncoder:
+        kwargs.setdefault("out_dim", out_dim)
     return docs.map_batches(
-        DocEncoder,
-        fn_constructor_kwargs={"out_dim": out_dim},
+        cls,
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency or 4),
     )
 
 
-def embed_documents_pipeline(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
+def embed_documents_pipeline(
+    sf_dir: str,
+    out_dir: str | None = None,
+    encoder: "str | type" = "projection",
+    encoder_kwargs: dict | None = None,
+) -> "ray.data.Dataset":
     """documents -> encoder actor pool -> embedding table (optionally written
     as partitioned parquet -- the reference's embedding cache, T8)."""
     import os
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    emb = encode_documents(docs)
+    emb = encode_documents(docs, encoder=encoder, encoder_kwargs=encoder_kwargs)
     if out_dir is not None:
         emb.write_parquet(out_dir)
         return ray.data.read_parquet(out_dir)

@@ -83,11 +83,15 @@ def score_pairs(
     pairs_with_feats: "ray.data.Dataset",
     cfg: LinkageConfig,
     concurrency: int | None = None,
+    scorer: type = PairScorer,
 ) -> "ray.data.Dataset":
+    """`scorer` is the crossencoder slot (reference T10, crossencoder.py:
+    104-124): any class taking (cfg) in __init__ (model load, once per actor)
+    and mapping a feature-pair Arrow batch to the EMPTY_SCORED schema."""
     from biomedical_entity_linking_ray.stages.normalize import pool_size
 
     return pairs_with_feats.map_batches(
-        PairScorer,
+        scorer,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,

@@ -278,3 +278,57 @@ def test_token_packing_prefix_scan():
     df2 = token_packing(SF_DIR, capacity=128, n_ranges=7).to_pandas(
     ).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(df, df2)
+
+
+def test_encoder_registry_pluggable():
+    """SURVEY 2.11 extension surface: a user encoder class registered by name
+    is constructed ONCE per actor and applied per batch (reference model-zoo
+    slot, bioel model.py:31-206 / data_process.py:565-684)."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biomedical_entity_linking_ray.stages import encoding
+
+    class CountingEncoder:
+        def __init__(self, dim: int = 4):
+            self.dim = dim
+            self.instance = uuid.uuid4().hex  # unique per construction
+            self.n_constructed = getattr(CountingEncoder, "_n", 0) + 1
+            CountingEncoder._n = self.n_constructed
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            emb = np.full((n, self.dim), 0.5, dtype=np.float32)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "embedding": pa.array([r.tolist() for r in emb],
+                                      pa.list_(pa.float32())),
+                "instance": pa.array([self.instance] * n, pa.string()),
+                "pid": pa.array([os.getpid()] * n, pa.int64()),
+                "n_constructed": pa.array([self.n_constructed] * n, pa.int64()),
+            })
+
+    encoding.register_encoder("counting", CountingEncoder)
+    assert encoding.resolve_encoder("counting") is CountingEncoder
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(200)])
+    out = encoding.encode_documents(
+        docs, encoder="counting", encoder_kwargs={"dim": 8},
+        concurrency=2, batch_size=16,
+    ).to_pandas()
+    assert len(out) == 200
+    assert all(len(e) == 8 for e in out["embedding"])
+    # one instance per worker process: every batch a given actor handled
+    # reports the same instance id, and that actor constructed exactly once
+    per_pid = out.groupby("pid")["instance"].nunique()
+    assert (per_pid == 1).all(), per_pid
+    assert (out["n_constructed"] == 1).all()
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        encoding.resolve_encoder("no_such_model")
