@@ -140,3 +140,35 @@ def test_salting_preserves_connectivity(small_corpus):
     pred = res.assignments.to_pandas()
     got = pred[pred["file_id"].isin(hot_ids)]["cluster_id"].nunique()
     assert got == 1, f"hot family fragmented into {got} clusters"
+
+
+def test_hot_block_windowed_enumeration_recall():
+    """A vendored-file mega-family whose post-contraction rep block EXCEEDS
+    all_pairs_max under the DEFAULT config: pair enumeration falls back to
+    sorted-neighborhood windows (candidate_pairs.py / fused_scoring enum) and
+    transitive closure must still recover ONE cluster with F1 >= 0.99
+    (SURVEY 7.4 hot-blocks hard part; ref analog special_partition.pyx)."""
+    from biomedical_entity_linking_ray.config import LinkageConfig, SynthConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+    from biomedical_entity_linking_ray.synth import generate_corpus
+
+    corpus = generate_corpus(SynthConfig().scaled(0.5))  # hot family ~250 rows
+    cfg = LinkageConfig()  # DEFAULT all_pairs_max=64 / pair_window=8
+    res = run_linkage(rd.from_arrow(corpus.files), cfg)
+
+    # the windowed path must actually engage: some block wider than the bound
+    bk = res.block_rows.to_pandas()["block_key"].value_counts()
+    assert int(bk.max()) > cfg.all_pairs_max, int(bk.max())
+
+    m = pairwise_f1(corpus.gold_pairs.to_pandas(), res.assignments,
+                    res.block_rows, res.members)
+    assert m["f1"] >= 0.99 and m["precision"] >= 0.99, m
+
+    # the hot family resolves to exactly one cluster
+    gc = corpus.gold_clusters.to_pandas()
+    hot_cid = gc.groupby("cluster_id").size().idxmax()
+    hot_fids = set(gc[gc.cluster_id == hot_cid].file_id)
+    assert len(hot_fids) > cfg.all_pairs_max
+    asn = res.assignments.to_pandas()
+    labels = set(asn[asn.file_id.isin(hot_fids)].cluster_id)
+    assert len(labels) == 1, f"hot family split into {len(labels)} clusters"
