@@ -182,3 +182,93 @@ def blocking_recall(
         if _co_blocked(a, b, rep_of, keys_of)
     )
     return hits / len(pos)
+
+
+def recall_matrix(
+    gold: "ray.data.Dataset",
+    runs: "dict[str, ray.data.Dataset]",
+    ks: tuple = (1, 3, 5),
+    broadcast_gold_max: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Joint multi-run evaluation report: (model, k, recall, n_mentions).
+
+    The reference's `Evaluate` harness loads N models' per-mention candidate
+    lists, joins them to the gold table by mention_id and reports a
+    per-model recall@k matrix (bioel/bioel/evaluate.py:410-588 load_results /
+    process_datasets / evaluate; recall math as in evaluate.py:234-260).
+    Re-expressed Ray-Data-first:
+
+    - `gold(mention_id, gold_id)` is broadcast while it fits (`ray.put` once,
+      worker-cached index, vectorized reindex per batch); hash join beyond;
+    - each run `preds(mention_id, candidates list<str> best-first)` streams
+      through ONE map_batches computing per-batch PARTIAL hit counts per k
+      (combiner), merged by a tiny groupby-sum -- no full materialization;
+    - mentions absent from gold are dropped (the reference's dict-lookup
+      semantics); mentions absent from a run count as misses at every k,
+      via the n_mentions denominator taken from gold.
+    """
+    import numpy as np
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast, hash_join
+
+    gold = gold.materialize()
+    n_gold = gold.count()
+    use_bcast = n_gold <= broadcast_gold_max
+    gold_ref = _ray.put(gold.to_pandas()) if use_bcast else None
+    ks = tuple(sorted(ks))
+
+    parts = []
+    for model, preds in runs.items():
+        if use_bcast:
+            def attach(t: pa.Table) -> pa.Table:
+                g = cached_broadcast(
+                    gold_ref, lambda d: d.set_index("mention_id")["gold_id"])
+                df = t.select(["mention_id", "candidates"]).to_pandas()
+                df["gold_id"] = g.reindex(df["mention_id"]).to_numpy()
+                df = df[df["gold_id"].notna()]
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+            joined = preds.map_batches(attach, batch_format="pyarrow")
+        else:
+            joined = hash_join(preds, gold, "inner", 16, on=("mention_id",))
+
+        def partial(t: pa.Table, model=model) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({"model": pa.array([], pa.string()),
+                                 "k": pa.array([], pa.int64()),
+                                 "hits": pa.array([], pa.int64())})
+            cands = t["candidates"].to_pylist()
+            golds = t["gold_id"].to_pylist()
+            hits = np.zeros(len(ks), dtype=np.int64)
+            for cl, gid in zip(cands, golds):
+                cl = cl or []
+                for j, k in enumerate(ks):
+                    if gid in cl[:k]:
+                        hits[j] += 1
+            return pa.table({
+                "model": pa.array([model] * len(ks), pa.string()),
+                "k": pa.array(list(ks), pa.int64()),
+                "hits": pa.array(hits),
+            })
+
+        parts.append(joined.map_batches(partial, batch_format="pyarrow"))
+
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    summed = merged.groupby(["model", "k"]).aggregate(Sum("hits", alias_name="hits"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rec = pc.round(pc.divide(pc.cast(t["hits"], pa.float64()),
+                                 float(max(n_gold, 1))), ndigits=4)
+        return pa.table({
+            "model": t["model"], "k": t["k"], "recall": rec,
+            "n_mentions": pa.array(np.full(t.num_rows, n_gold, dtype=np.int64)),
+        })
+
+    return summed.map_batches(finish, batch_format="pyarrow")

@@ -332,3 +332,28 @@ def test_encoder_registry_pluggable():
 
     with pytest.raises(KeyError):
         encoding.resolve_encoder("no_such_model")
+
+
+def test_recall_matrix_multi_run():
+    """Joint multi-run eval report (ref Evaluate, evaluate.py:410-588): join N
+    runs' candidate lists to gold by mention_id, per-model recall@k matrix."""
+    import ray.data as rd
+
+    from biomedical_entity_linking_ray.stages.evaluation import recall_matrix
+
+    gold = rd.from_items([
+        {"mention_id": f"m{i}", "gold_id": f"C{i}"} for i in range(8)])
+    # model A: perfect at k=1; model B: gold at rank 3 for half, missing else
+    run_a = rd.from_items([
+        {"mention_id": f"m{i}", "candidates": [f"C{i}", "Cx", "Cy"]}
+        for i in range(8)])
+    run_b = rd.from_items(
+        [{"mention_id": f"m{i}", "candidates": ["Cx", "Cy", f"C{i}"]}
+         for i in range(4)]
+        + [{"mention_id": f"m{i}", "candidates": ["Cx"]} for i in range(4, 8)]
+        + [{"mention_id": "zz_not_in_gold", "candidates": ["C0"]}])  # dropped
+
+    out = recall_matrix(gold, {"A": run_a, "B": run_b}, ks=(1, 3)).to_pandas()
+    out = out.set_index(["model", "k"])["recall"]
+    assert out[("A", 1)] == 1.0 and out[("A", 3)] == 1.0
+    assert out[("B", 1)] == 0.0 and out[("B", 3)] == 0.5
