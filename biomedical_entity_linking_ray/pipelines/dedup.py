@@ -433,12 +433,13 @@ def ngram_jaccard_exact(
     chunks = [load.remote(o, chunk) for o in range(0, n_rows, chunk)]
     parts = [score.remote(chunks[i], chunks[j], i == j)
              for i in range(len(chunks)) for j in range(i, len(chunks))]
-    tables = [t for t in _ray.get(parts) if t.num_rows]
-    if not tables:
+    if not parts:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
-    return ray.data.from_arrow(pa.concat_tables(tables))
+    # assemble from refs: pair tables become dataset blocks IN the object
+    # store -- nothing flows through the driver
+    return ray.data.from_arrow_refs(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -455,9 +456,10 @@ def embedding_near_dup_exact(
     API can't): one task per parquet row group loads + unit-normalizes its
     chunk into the object store, then one task per (i <= j) chunk pair does a
     single matmul and emits only the passing pairs. Data never flows through
-    the driver; the driver holds row-group metadata and the (small) passing
-    pair set. O(B^2) tasks in the chunk count -- the brute-force baseline;
-    `embedding_near_dup_pairs` (hyperplane LSH) is the at-scale path.
+    the driver: pair tables are assembled into dataset blocks from object
+    refs; the driver holds only row-group metadata. O(B^2) tasks in the chunk
+    count -- the brute-force baseline; `embedding_near_dup_pairs` (hyperplane
+    LSH) is the at-scale path.
 
     Cosines are rounded to 4 decimals BEFORE thresholding so the result is
     reproducible against a SQL oracle.
@@ -497,12 +499,13 @@ def embedding_near_dup_exact(
     chunks = [load.remote(i) for i in range(n_rg)]
     parts = [score.remote(chunks[i], chunks[j], i == j)
              for i in range(n_rg) for j in range(i, n_rg)]
-    tables = [t for t in _ray.get(parts) if t.num_rows]
-    if not tables:
+    if not parts:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
             "cosine": pa.array([], pa.float64())}))
-    return ray.data.from_arrow(pa.concat_tables(tables))
+    # assemble from refs: pair tables become dataset blocks IN the object
+    # store -- nothing flows through the driver
+    return ray.data.from_arrow_refs(parts)
 
 
 def embedding_near_dup_pairs(
