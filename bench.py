@@ -132,7 +132,12 @@ def run_linkage_only() -> dict:
     from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
     from biomedical_entity_linking_ray.synth import materialize_corpus
 
-    factor = float(os.environ.get("GRAFT_SCALE_FACTOR", "30"))
+    # Default = the round-2 scaling workload (factor 60, 134,204 rows of
+    # ~6-10 KB files) so efficiency is comparable round over round. Smaller
+    # factors under-amortize fixed per-job latency (factor 30 measured 0.74
+    # vs 0.80 at 60 on identical code); factor 120 gains nothing (0.75 --
+    # the 8-CPU leg starts paying object-store pressure on this VM).
+    factor = float(os.environ.get("GRAFT_SCALE_FACTOR", "60"))
     # content_scale ~6 plants ~6-10 KB source files: representative of a real
     # source-code corpus (the unit-test corpus uses ~1.5 KB rows for speed,
     # which over-weights shuffle overhead relative to the content scan)
