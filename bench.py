@@ -212,7 +212,7 @@ def run_scaling() -> dict:
         f"rows_per_sec_{lo}": r_lo["rows_per_sec"],
         f"rows_per_sec_{hi}": r_hi["rows_per_sec"],
         "workload": "linkage on synthetic files corpus factor="
-                    + os.environ.get("GRAFT_SCALE_FACTOR", "30"),
+                    + os.environ.get("GRAFT_SCALE_FACTOR", "60"),
     }
 
 
