@@ -60,6 +60,16 @@ class LinkageConfig:
     w_cos: float = 0.30          # weight: cosine(hashed-TF content vectors)
     tau: float = 0.62            # combined-score threshold for an edge
 
+    # --- scored-pairs product artifact ---
+    # The deduplicated scored-pair table is a PRODUCT output (audit / eval /
+    # threshold tuning), not an input to clustering (CC consumes star edges).
+    # Its (id_a, id_b) max-score dedup is the job's largest all-to-all -- the
+    # pre-dedup stream is ~rows x bands x window (measured: 470 s of a 559 s
+    # run at 651 k rows; the disk-envelope bound in BASELINE.md). Assignments-
+    # only deployments set False: the fused scorer emits star edges only and
+    # `scored_pairs`/`edges` come back typed-empty.
+    emit_scored_pairs: bool = True
+
     # --- clustering ---
     max_rounds: int = 50         # hard cap on label-propagation rounds
     # Residual-graph fast path: after per-block local contraction the edge

@@ -192,6 +192,7 @@ def score_blocks(
     num_perm, tf_dim = cfg.num_perm, cfg.tf_dim
     W, all_max, tau = cfg.pair_window, cfg.all_pairs_max, cfg.tau
     w_jw, w_jac, w_cos = cfg.w_jw, cfg.w_jac, cfg.w_cos
+    emit_pairs = cfg.emit_scored_pairs  # False: stars only (assignments-only mode)
     # fine-grained coarse buckets: per-group scoring cost is quadratic-ish in
     # block size, so coarse groups must be numerous enough that one heavy
     # group cannot straggle a whole core's worth of work
@@ -362,7 +363,7 @@ def score_blocks(
             "block_key": pc.take(bk, ia_pa),
             "score_jw": pa.array(jw), "score_jaccard": pa.array(jac),
             "score_cosine": pa.array(cos), "score": pa.array(score),
-        }, schema=_PAIR_SCHEMA)
+        }, schema=_PAIR_SCHEMA) if emit_pairs else _empty_out()
         stars_tab = pa.table({
             "kind": pa.array(np.full(ns, "s", dtype=object), pa.string()),
             "id_a": pc.take(fid, r_pa), "id_b": pc.take(fid, m_pa),
@@ -399,14 +400,21 @@ def score_blocks(
         return empty_scored, empty_stars, empty_stars
 
     P4 = n_coarse
-    scored = bucketed_aggregate(
-        tagged.filter(expr="kind == 'p'"),
-        ["id_a", "id_b"],
-        {"block_key": ("block_key", "min"), "score_jw": ("score_jw", "max"),
-         "score_jaccard": ("score_jaccard", "max"),
-         "score_cosine": ("score_cosine", "max"), "score": ("score", "max")},
-        n_buckets=P4,
-    )
+    if emit_pairs:
+        scored = bucketed_aggregate(
+            tagged.filter(expr="kind == 'p'"),
+            ["id_a", "id_b"],
+            {"block_key": ("block_key", "min"), "score_jw": ("score_jw", "max"),
+             "score_jaccard": ("score_jaccard", "max"),
+             "score_cosine": ("score_cosine", "max"), "score": ("score", "max")},
+            n_buckets=P4,
+        )
+    else:
+        from biomedical_entity_linking_ray.stages.scoring import EMPTY_SCORED
+
+        # assignments-only mode: the pair dedup (the job's largest all-to-all)
+        # never runs; consumers get a typed empty product table
+        scored = ray.data.from_arrow(EMPTY_SCORED)
     stars_raw = tagged.filter(expr="kind == 's'").map_batches(
         lambda t: t.select(["id_a", "id_b", "block_key"]),
         batch_format="pyarrow",

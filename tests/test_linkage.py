@@ -172,3 +172,27 @@ def test_hot_block_windowed_enumeration_recall():
     asn = res.assignments.to_pandas()
     labels = set(asn[asn.file_id.isin(hot_fids)].cluster_id)
     assert len(labels) == 1, f"hot family split into {len(labels)} clusters"
+
+
+def test_assignments_only_mode_matches_default(small_corpus, linkage_result):
+    """emit_scored_pairs=False (assignments-only mode) skips the pair-dedup
+    all-to-all entirely; cluster assignments must be IDENTICAL to the default
+    run and the scored-pair product comes back typed-empty."""
+    from dataclasses import replace
+
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+
+    cfg, res_default = linkage_result
+    cfg2 = replace(cfg, emit_scored_pairs=False)
+    res2 = run_linkage(rd.from_arrow(small_corpus.files), cfg2,
+                       feature_concurrency=2)
+
+    a = res_default.assignments.to_pandas()[["file_id", "cluster_id"]] \
+        .sort_values("file_id").reset_index(drop=True)
+    b = res2.assignments.to_pandas()[["file_id", "cluster_id"]] \
+        .sort_values("file_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    assert res2.scored_pairs.count() == 0
+    assert "score" in res2.scored_pairs.schema().names  # typed empty
+    assert res2.edges.count() == 0
