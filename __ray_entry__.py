@@ -33,6 +33,21 @@ def _planted_linkage(sf_dir: str):
     return _PLANTED_CACHE[sf_dir]
 
 
+def _planted_linkage_ao(sf_dir: str):
+    """Assignments-only flagship (emit_scored_pairs=False) over the same
+    planted corpus: the scored-pair dedup all-to-all never runs."""
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+    from biomedical_entity_linking_ray.synth import planted_files_from_docs
+
+    key = ("ao", sf_dir)
+    if key not in _PLANTED_CACHE:
+        _PLANTED_CACHE[key] = run_linkage(
+            planted_files_from_docs(sf_dir),
+            LinkageConfig(emit_scored_pairs=False))
+    return _PLANTED_CACHE[key]
+
+
 def _linkage_result(sf_dir: str):
     import ray.data as rd
 
@@ -92,6 +107,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         scoring -> threshold -> connected components -> attach, all
         value-exact against the oracle."""
         return _planted_linkage(sf_dir).assignments
+
+    def linkage_assignments_only(sf_dir: str):
+        """Assignments-only deployment mode (emit_scored_pairs=False): the
+        fused scorer emits star edges only and the scored-pair (id_a, id_b)
+        max-score dedup -- the job's largest all-to-all, a product artifact
+        for audit/eval, never an input to clustering -- is skipped entirely.
+        Cluster assignments must be IDENTICAL to linkage_assignments, so it
+        shares that query's closed-form planted-corpus oracle."""
+        return _planted_linkage_ao(sf_dir).assignments
 
     def linkage_synth_assignments(sf_dir: str):
         """Default config over the adversarial synthetic files corpus (hot
@@ -278,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned by pytest gold F1 + single-process parity.
         # linkage_exact_docs: tau-above-ceiling config, sha-group oracle.
         "linkage_assignments": linkage_assignments,
+        "linkage_assignments_only": linkage_assignments_only,
         "linkage_cluster_sizes": linkage_cluster_sizes,
         "linkage_synth_assignments": linkage_synth_assignments,
         "linkage_exact_docs": linkage_exact_docs,
@@ -828,6 +853,9 @@ def oracle_sql() -> dict[str, str]:
                'txt' AS lang
         FROM ids
     """
+    # assignments-only mode must be cluster-identical to the default run, so
+    # it shares the closed-form planted-corpus oracle verbatim
+    out["linkage_assignments_only"] = out["linkage_assignments"]
     out["linkage_cluster_sizes"] = _planted_files + """
         , asn AS (
           SELECT min(file_id) OVER (PARTITION BY d) AS cluster_id, 'txt' AS lang

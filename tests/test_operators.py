@@ -47,8 +47,8 @@ def _assert_matches_oracle(name: str, con):
     "minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
     "knn_lsh_exhaustive", "embedding_near_dup_lsh_exhaustive",
     "image_dims", "audio_durations", "video_frame_index",
-    "linkage_exact_docs", "linkage_assignments", "linkage_cluster_sizes",
-    "umls_canonical",
+    "linkage_exact_docs", "linkage_assignments", "linkage_assignments_only",
+    "linkage_cluster_sizes", "umls_canonical",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
