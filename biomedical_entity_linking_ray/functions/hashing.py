@@ -351,6 +351,24 @@ def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
     return h
 
 
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype="S1")
+
+
+def hex16_batch(vals: np.ndarray) -> np.ndarray:
+    """Vectorized ``%016x`` of a uint64 array: (n,) -> (n,) unicode 'U16'.
+
+    Big-endian byte view + per-nibble table lookup -- no Python-level
+    formatting per element (the f-string loop it replaces was the last
+    per-row Python work in the flagship's block-key explode)."""
+    if vals.size == 0:
+        return np.empty(0, dtype="U16")
+    b = np.ascontiguousarray(vals, dtype=">u8").view(np.uint8).reshape(-1, 8)
+    out = np.empty((b.shape[0], 16), dtype="S1")
+    out[:, 0::2] = _HEX_DIGITS[b >> 4]
+    out[:, 1::2] = _HEX_DIGITS[b & 0x0F]
+    return out.view("S16").ravel().astype("U16")
+
+
 def hashed_tf_vector(hashes: np.ndarray, dim: int) -> np.ndarray:
     """L2-normalized hashed term-frequency vector (float32, `dim`).
 

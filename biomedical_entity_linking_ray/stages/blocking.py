@@ -50,35 +50,45 @@ def emit_block_keys(reps: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.D
     (No sha key: exact duplicates are already contracted away.)
     """
     bands = cfg.lsh_bands
+    # per-band prefix strings ("m0".."m15") built once; tiled per batch
+    band_names = np.array([f"m{b}" for b in range(bands)], dtype=object)
+    _EMPTY = pa.table({"block_key": pa.array([], pa.string()),
+                       "file_id": pa.array([], pa.string())})
 
     def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = batch.num_rows
-        langs = batch["lang"].to_pylist()
-        stems = batch["stem"].to_pylist()
-        fids = batch["file_id"].to_pylist()
-        sig_buf = b"".join(batch["sig"].to_pylist())
-        sigs = np.frombuffer(sig_buf, dtype=np.uint16).reshape(n, cfg.num_perm)
-
-        keys: list[str] = []
-        out_fids: list[str] = []
+        if n == 0:
+            return _EMPTY
+        parts: list[pa.Table] = []
         if cfg.use_minhash_keys:
-            bh = hashing.band_hashes_batch(sigs, bands)  # (n, bands)
-            for i in range(n):
-                li = langs[i]
-                fi = fids[i]
-                for b in range(bands):
-                    keys.append(f"m{b}:{li}:{bh[i, b]:016x}")
-                    out_fids.append(fi)
+            sig_buf = b"".join(batch["sig"].to_pylist())
+            sigs = np.frombuffer(sig_buf, dtype=np.uint16).reshape(n, cfg.num_perm)
+            bh = hashing.band_hashes_batch(sigs, bands)          # (n, bands)
+            # row-major explode, fully vectorized: nibble-table hex, Arrow
+            # take for the repeated lang/file_id columns, one Arrow join
+            hex_pa = pa.array(hashing.hex16_batch(bh.ravel()), pa.string())
+            pref_pa = pa.array(np.tile(band_names, n), pa.string())
+            rep_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+            keys = pc.binary_join_element_wise(
+                pref_pa, pc.take(batch["lang"], rep_idx), hex_pa, ":")
+            parts.append(pa.table({
+                "block_key": keys,
+                "file_id": pc.take(batch["file_id"], rep_idx),
+            }))
         if cfg.use_path_key:
-            for i in range(n):
-                if stems[i]:
-                    keys.append(f"p:{langs[i]}:{stems[i]}")
-                    out_fids.append(fids[i])
+            stem = batch["stem"]
+            mask = pc.and_kleene(stem.is_valid(), pc.not_equal(stem, ""))
+            sel = batch.filter(pc.fill_null(mask, False))
+            if sel.num_rows:
+                pkeys = pc.binary_join_element_wise(
+                    pa.array(np.full(sel.num_rows, "p", dtype=object), pa.string()),
+                    sel["lang"], sel["stem"], ":")
+                parts.append(pa.table({
+                    "block_key": pkeys, "file_id": sel["file_id"]}))
 
-        return pa.table({
-            "block_key": pa.array(keys, pa.string()),
-            "file_id": pa.array(out_fids, pa.string()),
-        })
+        return pa.concat_tables(parts) if parts else _EMPTY
 
     return reps.map_batches(explode, batch_format="pyarrow", batch_size=cfg.batch_size)
 

@@ -141,3 +141,20 @@ def test_jaro_winkler_pairs_kernel_and_fallback_agree():
     assert np.array_equal(got_py, want)
     if saved:  # compiler present in this container
         assert np.array_equal(got_kernel, want)
+
+
+def test_hex16_batch_matches_format():
+    """Vectorized %016x must be byte-identical to Python formatting,
+    including edge values (0, 2**64-1) and random uint64 draws."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        np.array([0, 1, 0xFF, 2**32, 2**64 - 1], dtype=np.uint64),
+        rng.randint(0, 2**63, size=1000).astype(np.uint64) * np.uint64(2)
+        + rng.randint(0, 2, size=1000).astype(np.uint64),
+    ])
+    got = hashing.hex16_batch(vals)
+    want = np.array([f"{int(v):016x}" for v in vals], dtype="U16")
+    assert np.array_equal(got, want)
+    assert hashing.hex16_batch(np.empty(0, dtype=np.uint64)).shape == (0,)
