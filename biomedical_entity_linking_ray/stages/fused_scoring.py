@@ -319,18 +319,37 @@ def score_blocks(
         np.clip(cos, -1.0, 1.0, out=cos)
         _mark()
         _mark()
-        if path_codes is None:
-            jw = jaro_winkler_pairs(paths[ia], paths[ib])
+
+        def _jw_at(idx_a: np.ndarray, idx_b: np.ndarray) -> np.ndarray:
+            if path_codes is None:
+                return jaro_winkler_pairs(paths[idx_a], paths[idx_b])
+            return jaro_winkler_pairs(
+                paths[path_codes[idx_a]], paths[path_codes[idx_b]])
+
+        if emit_pairs:
+            jw = _jw_at(ia, ib)
+            score = w_jw * jw + w_jac * jac + w_cos * cos
+            passing = score >= tau
         else:
-            jw = jaro_winkler_pairs(paths[path_codes[ia]], paths[path_codes[ib]])
+            # assignments-only: only the passing SET matters, so skip the JW
+            # kernel (5-6x the cost of jac+cos per pair) wherever even jw=1.0
+            # cannot reach tau. FP mult/add are monotone, so
+            # score(jw<=1) <= bound(jw=1) exactly -- the candidate filter can
+            # never drop a passing pair; candidates get the identical
+            # left-to-right expression, so the passing set is bit-equal.
+            bound = w_jw * 1.0 + w_jac * jac + w_cos * cos
+            cand = np.flatnonzero(bound >= tau)
+            passing = np.zeros(ia.size, dtype=bool)
+            if cand.size:
+                jw_c = _jw_at(ia[cand], ib[cand])
+                passing[cand] = (
+                    w_jw * jw_c + w_jac * jac[cand] + w_cos * cos[cand]) >= tau
         _mark()
-        score = w_jw * jw + w_jac * jac + w_cos * cos
 
         # local union-find over passing pairs -> star edges (member, root).
         # Rows are sorted by (block_key, file_id) and pairs stay inside one
         # block, so the min INDEX of a component is its min file_id: union by
         # min index == the old union by min id, without string compares.
-        passing = score >= tau
         parent = np.arange(n, dtype=np.int64)
 
         def find(x: int) -> int:
