@@ -72,6 +72,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from biomedical_entity_linking_ray.pipelines import (
+        analytics,
         dedup,
         multimodal,
         relational,
@@ -230,6 +231,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": relational.top_order_per_customer,
         "user_sessions": relational.user_sessions,
         "event_props_k": relational.event_props_k,
+        # --- temporal joins / windows / quantiles / distinct (analytics) ---
+        "events_asof_prior": analytics.events_asof_prior,
+        "events_nearby": analytics.events_nearby,
+        "events_hopping": analytics.events_hopping,
+        "quantity_quantiles": analytics.quantity_quantiles,
+        "distinct_users_by_type": analytics.distinct_users_by_type,
+        # rows-only sketch twin: pytest pins it against the exact oracle twin
+        "distinct_users_hll": analytics.distinct_users_hll,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "quality_scores": text_analysis.quality_scores,
@@ -310,9 +319,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from biomedical_entity_linking_ray.pipelines.analytics import SQL as ANALYTICS_SQL
     from biomedical_entity_linking_ray.pipelines.relational import SQL
 
     out = dict(SQL)
+    out.update(ANALYTICS_SQL)
     out["token_counts"] = """
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,

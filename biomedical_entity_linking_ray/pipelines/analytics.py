@@ -1,0 +1,402 @@
+"""Temporal joins, hopping windows, exact distributed quantiles and
+distinct counts (exact + HyperLogLog sketch) over the events/lineitem tables.
+
+This is the "custom operators Ray Data lacks" family (SURVEY.md 2.10 and the
+training-data-pipeline chapter): each operator documents the partitioning
+assumption it relies on and composes vectorized map_batches partials with ONE
+grouped shuffle -- the shape that holds at 100 TB:
+
+- as-of join        -> hash-bucket by the equi key, sorted merge inside groups
+- range join        -> band quantization + probe replication (+/-1 band)
+- hopping windows   -> k-fold skinny expansion + per-batch partial aggregation
+- exact quantiles   -> counting method (shuffle carries (group,value,count))
+- distinct count    -> local-dedup combiner + two grouped stages
+- HLL sketch        -> O(groups * 2^p) register merge independent of row count
+
+All SQL oracles live in ``SQL`` keyed by query name, same column names and
+rounding on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from biomedical_entity_linking_ray.functions import hashing
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (Ray Data has no native one)
+# ---------------------------------------------------------------------------
+
+def events_asof_prior(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """As-of join: for each `left_type` event, the most recent STRICTLY prior
+    `right_type` event by the same user (ties on ts break to max event_id),
+    emitting (event_id, prior_event_id, gap_us).
+
+    Scale pattern: hash-bucket BOTH sides by the equi key (user_id) in one
+    shuffle, then run a vectorized sorted merge (pandas merge_asof) inside
+    each group. Partitioning assumption: one user's history fits one group --
+    true whenever per-key history fits a worker; salt by time range for
+    pathological keys. Events with no prior match are dropped (inner)."""
+
+    def sides(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        t = t.filter(keep)
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        b = (hashing.splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "__bucket": pa.array(b),
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "is_right": pc.equal(t["event_type"], right_type),
+        })
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "prior_event_id": pd.Series([], dtype=np.int64),
+            "gap_us": pd.Series([], dtype=np.int64),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[~g["is_right"]].sort_values("ts", kind="mergesort")
+        right = g[g["is_right"]].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        if len(left) == 0 or len(right) == 0:
+            return _empty()
+        right = right.rename(columns={"event_id": "prior_event_id"})
+        right = right.assign(prior_ts=right["ts"])
+        # backward + sorted-by-(ts, event_id) right side => among equal prior
+        # timestamps the LAST row wins = max prior_event_id (the SQL tiebreak)
+        m = pd.merge_asof(
+            left[["event_id", "ts", "user_id"]],
+            right[["prior_event_id", "prior_ts", "ts", "user_id"]],
+            on="ts", by="user_id", direction="backward",
+            allow_exact_matches=False)
+        m = m.dropna(subset=["prior_event_id"])
+        if len(m) == 0:
+            return _empty()
+        gap = (m["ts"].to_numpy() - m["prior_ts"].to_numpy()) \
+            .astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(np.int64),
+            "prior_event_id": m["prior_event_id"].to_numpy(np.int64),
+            "gap_us": gap,
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(sides, batch_format="pyarrow", batch_size=65536) \
+        .groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# banded range self-join
+# ---------------------------------------------------------------------------
+
+def events_nearby(
+    sf_dir: str, radius_minutes: int = 60, n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Banded range self-join: per event, count and value-sum of OTHER events
+    by the same user within +/- radius, as (event_id, n_nearby, sum_nearby).
+
+    Range joins at scale: quantize time into bands of width == radius and
+    replicate the PROBE side into (band-1, band, band+1); every true match
+    then shares a (user_id, band) key with exactly one probe replica, so one
+    grouped shuffle co-locates candidates, an in-group vectorized merge
+    applies the exact predicate, and a final skinny groupby merges per-bucket
+    partials (a probe's three replicas can land in different buckets).
+    Events with zero neighbours are dropped (inner, mirrors the SQL join)."""
+    radius_us = np.int64(radius_minutes) * np.int64(60_000_000)
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        band = ts // radius_us
+        eid = t["event_id"].to_numpy()
+        val = t["value"].to_numpy()
+        n = len(u)
+
+        def mk(users, bands, eids, tss, vals, probe: bool) -> pa.Table:
+            key = hashing.splitmix64(
+                users * np.uint64(0x9E3779B97F4A7C15) ^ bands.astype(np.uint64))
+            return pa.table({
+                "__bucket": pa.array((key % np.uint64(n_buckets)).astype(np.int64)),
+                "user_id": pa.array(users.astype(np.int64)),
+                "band": pa.array(bands),
+                "event_id": pa.array(eids),
+                "ts_us": pa.array(tss),
+                "value": pa.array(vals),
+                "is_probe": pa.array(np.full(len(users), probe)),
+            })
+
+        build = mk(u, band, eid, ts, val, False)
+        probe = mk(
+            np.repeat(u, 3),
+            np.repeat(band, 3) + np.tile(np.array([-1, 0, 1], dtype=np.int64), n),
+            np.repeat(eid, 3), np.repeat(ts, 3),
+            np.zeros(3 * n, dtype=np.float64),  # probe side never ships values
+            True)
+        return pa.concat_tables([build, probe])
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g[g["is_probe"]]
+        build = g[~g["is_probe"]]
+        m = probe[["user_id", "band", "event_id", "ts_us"]].merge(
+            build[["user_id", "band", "event_id", "ts_us", "value"]],
+            on=["user_id", "band"], suffixes=("", "_b"))
+        d = (m["ts_us_b"] - m["ts_us"]).abs()
+        m = m[(d <= radius_us) & (m["event_id"] != m["event_id_b"])]
+        out = m.groupby("event_id", as_index=False).agg(
+            n_nearby=("event_id_b", "size"), sum_nearby=("value", "sum"))
+        return out.astype({"event_id": np.int64, "n_nearby": np.int64,
+                           "sum_nearby": np.float64})
+
+    merged = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(expand, batch_format="pyarrow", batch_size=65536) \
+        .groupby("__bucket").map_groups(join, batch_format="pandas") \
+        .groupby("event_id").aggregate(
+            Sum("n_nearby", alias_name="n_nearby"),
+            Sum("sum_nearby", alias_name="sum_nearby"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "n_nearby": t["n_nearby"],
+            "sum_nearby": pc.round(t["sum_nearby"], ndigits=4),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# hopping (overlapping) windows
+# ---------------------------------------------------------------------------
+
+def events_hopping(
+    sf_dir: str, size_hours: int = 2, hop_hours: int = 1,
+) -> "ray.data.Dataset":
+    """Hopping windows (size 2h, hop 1h by default): each event contributes
+    to size/hop overlapping windows, as (event_type, window_start, n,
+    sum_value). Completes the windowing family next to events_hourly
+    (tumbling) and user_sessions (session).
+
+    Vectorized k-fold expansion of the SKINNY projected columns inside
+    map_batches, partial aggregation per batch (combiner), then one tiny
+    grouped merge -- the expansion multiplies partial-agg input, never the
+    shuffle, so the pattern is safe at any scale."""
+    k = size_hours // hop_hours
+    hop_us = np.int64(hop_hours) * np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        anchor = (ts // hop_us) * hop_us
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy()
+        df = pd.concat(
+            [pd.DataFrame({"event_type": et,
+                           "window_start": anchor - np.int64(i) * hop_us,
+                           "value": val}) for i in range(k)],
+            ignore_index=True)
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"].cast(pa.timestamp("us")),
+            "n": t["n"],
+            "sum_value": pc.round(t["sum_value"], ndigits=4),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles via counting
+# ---------------------------------------------------------------------------
+
+def quantity_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-group quantiles by the counting method: per-batch value
+    counts per (group, value) -> grouped count merge -> per-group cumulative
+    pick at index ceil(q*n)-1 of the sorted domain (DuckDB quantile_disc
+    semantics), as (l_returnflag, median_qty, p90_qty).
+
+    The shuffle carries (group, value, count) triples -- NOT rows -- so this
+    stays exact and tiny whenever the per-group distinct-value set fits one
+    worker (quantities, prices, scores, durations); unbounded continuous
+    domains must fall back to a mergeable sketch."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_quantity"], as_index=False).agg(
+            cnt=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072) \
+        .groupby(["l_returnflag", "l_quantity"]).aggregate(
+            Sum("cnt", alias_name="cnt"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_quantity").reset_index(drop=True)
+        c = g["cnt"].to_numpy().cumsum()
+        n = int(c[-1])
+        row = {"l_returnflag": g["l_returnflag"].iloc[0]}
+        for q, name in ((0.5, "median_qty"), (0.9, "p90_qty")):
+            idx = int(np.searchsorted(c, int(np.ceil(q * n)), side="left"))
+            row[name] = float(g["l_quantity"].iloc[idx])
+        return pd.DataFrame([row])
+
+    return counts.groupby("l_returnflag").map_groups(
+        pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# grouped distinct count: exact + HyperLogLog sketch twin
+# ---------------------------------------------------------------------------
+
+def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Exact grouped distinct count as two grouped stages: per-batch local
+    dedup (combiner), groupby (type, user) first-wins, then per-type row
+    count -- the shuffle carries pre-deduped pairs, never raw events."""
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False)
+
+    pairs = _read(sf_dir, "events", ["event_type", "user_id"]) \
+        .map_batches(local_dedup, batch_format="pyarrow", batch_size=131072) \
+        .groupby(["event_type", "user_id"]).aggregate(Count(alias_name="__c")) \
+        .drop_columns(["__c"])
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
+    """HyperLogLog distinct-count sketch per event_type (rows-only query; the
+    exact twin distinct_users_by_type carries the SQL oracle, and the pytest
+    suite pins the sketch against it).
+
+    Per-batch partial registers (2^p bytes per group) merged by elementwise
+    max: the shuffle moves O(groups * 2^p) bytes REGARDLESS of row count --
+    the only distinct-count shape whose exchange volume is constant at
+    100 TB. Standard HLL bias constant + linear-counting small-range
+    correction (Flajolet et al. 2007)."""
+    m = 1 << p
+    bits = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_types: list[str] = []
+        out_regs: list[bytes] = []
+        for et, g in df.groupby("event_type"):
+            h = hashing.splitmix64(g["user_id"].to_numpy().astype(np.uint64))
+            idx = (h >> np.uint64(bits)).astype(np.int64)
+            rest = h & np.uint64((1 << bits) - 1)
+            rank = np.empty(len(h), dtype=np.uint8)
+            z = rest == 0
+            rank[z] = bits + 1
+            # rest < 2^52 for p >= 12, so float64 represents it exactly and
+            # frexp's exponent e gives floor(log2(rest)) = e - 1
+            e = np.frexp(rest[~z].astype(np.float64))[1]
+            rank[~z] = (bits - (e - 1)).astype(np.uint8)
+            reg = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(reg, idx, rank)
+            out_types.append(et)
+            out_regs.append(reg.tobytes())
+        return pa.table({
+            "event_type": pa.array(out_types, pa.string()),
+            "registers": pa.array(out_regs, pa.binary()),
+        })
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack([np.frombuffer(b, dtype=np.uint8)
+                         for b in g["registers"]])
+        reg = regs.max(axis=0)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(np.exp2(-reg.astype(np.float64))))
+        zeros = int((reg == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        return pd.DataFrame([{"event_type": g["event_type"].iloc[0],
+                              "n_users_est": float(round(est, 4))}])
+
+    return _read(sf_dir, "events", ["event_type", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072) \
+        .groupby("event_type").map_groups(estimate, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles (DuckDB, same column names and rounding)
+# ---------------------------------------------------------------------------
+
+SQL: dict[str, str] = {
+    "events_asof_prior": """
+        SELECT event_id, prior_event_id, gap_us FROM (
+            SELECT a.event_id,
+                   b.event_id AS prior_event_id,
+                   epoch_us(a.ts) - epoch_us(b.ts) AS gap_us,
+                   row_number() OVER (PARTITION BY a.event_id
+                                      ORDER BY b.ts DESC, b.event_id DESC) AS rn
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id AND b.ts < a.ts
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        ) WHERE rn = 1
+    """,
+    "events_nearby": """
+        SELECT a.event_id,
+               count(*) AS n_nearby,
+               round(sum(b.value), 4) AS sum_nearby
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id AND b.event_id <> a.event_id
+         AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+        GROUP BY a.event_id
+    """,
+    "events_hopping": """
+        WITH w AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR, value
+            FROM events
+        )
+        SELECT event_type, window_start,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM w GROUP BY event_type, window_start
+    """,
+    "quantity_quantiles": """
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.5) AS median_qty,
+               quantile_disc(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+}

@@ -49,6 +49,8 @@ def _assert_matches_oracle(name: str, con):
     "image_dims", "audio_durations", "video_frame_index",
     "linkage_exact_docs", "linkage_assignments", "linkage_assignments_only",
     "linkage_cluster_sizes", "umls_canonical",
+    "events_asof_prior", "events_nearby", "events_hopping",
+    "quantity_quantiles", "distinct_users_by_type",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
@@ -65,6 +67,21 @@ def test_knn_self_retrieval():
     df = knn_bruteforce(SF_DIR, k=3, n_queries=8).to_pandas()
     r1 = df[df["rank"] == 1]
     assert (r1["query_id"].values == r1["vec_id"].values).all()
+
+
+def test_hll_distinct_matches_exact_twin():
+    """HLL sketch estimate stays within 5% of the exact grouped distinct
+    count (p=12 gives ~1.6% typical error; the linear-counting correction
+    keeps small groups tight)."""
+    from biomedical_entity_linking_ray.pipelines import analytics
+
+    exact = analytics.distinct_users_by_type(SF_DIR).to_pandas() \
+        .set_index("event_type")["n_users"]
+    est = analytics.distinct_users_hll(SF_DIR).to_pandas() \
+        .set_index("event_type")["n_users_est"]
+    assert set(est.index) == set(exact.index)
+    for et in exact.index:
+        assert abs(est[et] - exact[et]) <= max(2.0, 0.05 * exact[et]), et
 
 
 def test_knn_lsh_overlaps_bruteforce():
