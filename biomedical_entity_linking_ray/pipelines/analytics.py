@@ -30,7 +30,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions import groups, hashing
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -122,10 +122,15 @@ def events_nearby(
     Range joins at scale: quantize time into bands of width == radius and
     replicate the PROBE side into (band-1, band, band+1); every true match
     then shares a (user_id, band) key with exactly one probe replica, so one
-    grouped shuffle co-locates candidates, an in-group vectorized merge
-    applies the exact predicate, and a final skinny groupby merges per-bucket
-    partials (a probe's three replicas can land in different buckets).
-    Events with zero neighbours are dropped (inner, mirrors the SQL join)."""
+    grouped shuffle co-locates candidates, and a final skinny groupby merges
+    per-bucket partials (a probe's three replicas can land in different
+    buckets). Inside each group the predicate is applied WITHOUT
+    materializing pairs: build rows are sorted on a collision-free
+    (key, time-offset) composite, each probe's neighbour range is two
+    vectorized searchsorted bounds, counts are range widths and value sums
+    are prefix-sum differences -- O((B+P) log B) per group instead of the
+    O(B*P) pair merge. Events with zero neighbours are dropped (inner,
+    mirrors the SQL join)."""
     radius_us = np.int64(radius_minutes) * np.int64(60_000_000)
 
     def expand(t: pa.Table) -> pa.Table:
@@ -154,29 +159,54 @@ def events_nearby(
             np.repeat(u, 3),
             np.repeat(band, 3) + np.tile(np.array([-1, 0, 1], dtype=np.int64), n),
             np.repeat(eid, 3), np.repeat(ts, 3),
-            np.zeros(3 * n, dtype=np.float64),  # probe side never ships values
+            np.repeat(val, 3),  # own value, for exact self-exclusion
             True)
         return pa.concat_tables([build, probe])
 
     def join(g: pd.DataFrame) -> pd.DataFrame:
-        probe = g[g["is_probe"]]
-        build = g[~g["is_probe"]]
-        m = probe[["user_id", "band", "event_id", "ts_us"]].merge(
-            build[["user_id", "band", "event_id", "ts_us", "value"]],
-            on=["user_id", "band"], suffixes=("", "_b"))
-        d = (m["ts_us_b"] - m["ts_us"]).abs()
-        m = m[(d <= radius_us) & (m["event_id"] != m["event_id_b"])]
-        out = m.groupby("event_id", as_index=False).agg(
-            n_nearby=("event_id_b", "size"), sum_nearby=("value", "sum"))
-        return out.astype({"event_id": np.int64, "n_nearby": np.int64,
-                           "sum_nearby": np.float64})
+        is_probe = g["is_probe"].to_numpy()
+        # dense (user_id, band) codes shared by both sides (C groupby path)
+        k = g.groupby(["user_id", "band"], sort=False).ngroup().to_numpy()
+        band = g["band"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        # collision-free composite: build offsets land in [2r, 3r) of each
+        # key's 5r-wide slot; probe windows stay inside [0, 5r) of the same
+        # slot because replica offsets span [-r, 2r)
+        c = k * (5 * radius_us) + (ts - band * radius_us) + 2 * radius_us
 
-    merged = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        cb, vb = c[~is_probe], g["value"].to_numpy()[~is_probe]
+        order = np.argsort(cb, kind="stable")
+        cb = cb[order]
+        csum = np.concatenate(([0.0], np.cumsum(vb[order])))
+
+        cp = c[is_probe]
+        lb = np.searchsorted(cb, cp - radius_us, side="left")
+        ub = np.searchsorted(cb, cp + radius_us, side="right")
+        n = (ub - lb).astype(np.int64)
+        s = csum[ub] - csum[lb]
+        # the replica whose band equals the probe's true band contains the
+        # probe itself in the build side: remove it from count and sum
+        self_here = band[is_probe] == (ts[is_probe] // radius_us)
+        n -= self_here
+        s -= np.where(self_here, g["value"].to_numpy()[is_probe], 0.0)
+
+        keep = n > 0
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_probe][keep],
+            "n_nearby": n[keep],
+            "sum_nearby": s[keep],
+        })
+
+    partials = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
         .map_batches(expand, batch_format="pyarrow", batch_size=65536) \
-        .groupby("__bucket").map_groups(join, batch_format="pandas") \
-        .groupby("event_id").aggregate(
-            Sum("n_nearby", alias_name="n_nearby"),
-            Sum("sum_nearby", alias_name="sum_nearby"))
+        .groupby("__bucket").map_groups(join, batch_format="pandas")
+    # event_id cardinality scales with the corpus: merge the <=3 replica
+    # partials per event through the bucketed path, not Dataset.aggregate
+    # (which pays per-group Python overhead -- functions/groups.py docstring)
+    merged = groups.bucketed_aggregate(
+        partials, ["event_id"],
+        {"n_nearby": ("n_nearby", "sum"), "sum_nearby": ("sum_nearby", "sum")},
+        n_buckets=n_buckets)
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -221,10 +251,12 @@ def events_hopping(
             n=("value", "size"), sum_value=("value", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby(["event_type", "window_start"]).aggregate(
-            Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    # window cardinality grows with the covered time span: bucketed merge
+    ds = groups.bucketed_aggregate(
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "window_start"],
+        {"n": ("n", "sum"), "sum_value": ("sum_value", "sum")})
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -283,17 +315,19 @@ def quantity_quantiles(sf_dir: str) -> "ray.data.Dataset":
 
 def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
     """Exact grouped distinct count as two grouped stages: per-batch local
-    dedup (combiner), groupby (type, user) first-wins, then per-type row
-    count -- the shuffle carries pre-deduped pairs, never raw events."""
+    dedup (combiner), bucketed (type, user) distinct (key cardinality scales
+    with users, so Dataset.aggregate's per-group overhead is avoided), then a
+    tiny per-type count -- the shuffle carries pre-deduped pairs, never raw
+    events."""
 
     def local_dedup(t: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(
             t.to_pandas().drop_duplicates(), preserve_index=False)
 
-    pairs = _read(sf_dir, "events", ["event_type", "user_id"]) \
-        .map_batches(local_dedup, batch_format="pyarrow", batch_size=131072) \
-        .groupby(["event_type", "user_id"]).aggregate(Count(alias_name="__c")) \
-        .drop_columns(["__c"])
+    pairs = groups.bucketed_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(local_dedup, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "user_id"])
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
