@@ -237,7 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": analytics.events_hopping,
         "quantity_quantiles": analytics.quantity_quantiles,
         "distinct_users_by_type": analytics.distinct_users_by_type,
-        # rows-only sketch twin: pytest pins it against the exact oracle twin
+        # the HLL estimator is deterministic given splitmix64, so the sketch
+        # itself is oracled closed-form in SQL (analytics._hll_sql)
         "distinct_users_hll": analytics.distinct_users_hll,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,

@@ -332,9 +332,12 @@ def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
 
 
 def distinct_users_hll(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
-    """HyperLogLog distinct-count sketch per event_type (rows-only query; the
-    exact twin distinct_users_by_type carries the SQL oracle, and the pytest
-    suite pins the sketch against it).
+    """HyperLogLog distinct-count sketch per event_type. The sketch itself is
+    deterministic given splitmix64, so the DuckDB oracle replicates the WHOLE
+    estimator closed-form (hash over HUGEINT, exact integer rank via bin()
+    length, register max, bias constant + linear-counting branch) and the
+    driver value-checks it; pytest additionally pins it within 5% of the
+    exact twin distinct_users_by_type.
 
     Per-batch partial registers (2^p bytes per group) merged by elementwise
     max: the shuffle moves O(groups * 2^p) bytes REGARDLESS of row count --
@@ -434,3 +437,56 @@ SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
 }
+
+
+def _hll_sql(p: int = 12) -> str:
+    """The HLL estimator replicated closed-form in DuckDB: splitmix64 over
+    HUGEINT (split multiplication keeps products under 2^96), rank as an
+    EXACT integer via length(bin(rest)) -- floor(log2) through floats is
+    wrong near 2^k boundaries -- then register max, the alpha bias constant
+    and the linear-counting small-range branch, rounded like the Ray side."""
+    m, bits = 1 << p, 64 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    M = "18446744073709551616::HUGEINT"
+
+    def mulmod(x: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"((({x}) * {lo}::HUGEINT) % {M} + "
+                f"((({x}) * {hi}::HUGEINT) % 4294967296::HUGEINT)"
+                f" * 4294967296::HUGEINT) % {M}")
+
+    return f"""
+        WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        s1 AS (SELECT event_type,
+                      (user_id::HUGEINT + 11400714819323198485::HUGEINT) % {M} AS x
+               FROM u),
+        s2 AS (SELECT event_type,
+                      {mulmod('xor(x, x // 1073741824::HUGEINT)', 0xBF58476D1CE4E5B9)} AS x
+               FROM s1),
+        s3 AS (SELECT event_type,
+                      {mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x
+               FROM s2),
+        hv AS (SELECT event_type, xor(x, x // 2147483648::HUGEINT) AS h FROM s3),
+        parts AS (SELECT event_type,
+                         (h // {1 << bits}::HUGEINT)::BIGINT AS idx,
+                         (h % {1 << bits}::HUGEINT)::BIGINT AS rest
+                  FROM hv),
+        regs AS (SELECT event_type, idx,
+                        max(CASE WHEN rest = 0 THEN {bits + 1}
+                                 ELSE {bits + 1} - length(bin(rest)) END) AS reg
+                 FROM parts GROUP BY event_type, idx),
+        stats AS (SELECT event_type,
+                         sum(power(2.0, -reg)) + ({m} - count(*)) AS denom,
+                         {m} - count(*) AS zeros
+                  FROM regs GROUP BY event_type)
+        SELECT event_type,
+               round(CASE WHEN raw <= {2.5 * m!r}::DOUBLE AND zeros > 0
+                          THEN {m} * ln({float(m)!r}::DOUBLE / zeros)
+                          ELSE raw END, 4) AS n_users_est
+        FROM (SELECT event_type,
+                     {alpha!r}::DOUBLE * {m} * {m} / denom AS raw, zeros
+              FROM stats)
+    """
+
+
+SQL["distinct_users_hll"] = _hll_sql()

@@ -50,7 +50,7 @@ def _assert_matches_oracle(name: str, con):
     "linkage_exact_docs", "linkage_assignments", "linkage_assignments_only",
     "linkage_cluster_sizes", "umls_canonical",
     "events_asof_prior", "events_nearby", "events_hopping",
-    "quantity_quantiles", "distinct_users_by_type",
+    "quantity_quantiles", "distinct_users_by_type", "distinct_users_hll",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
