@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_near_dup",
     "knn_bruteforce",
+    # temporal-join family (round 3): banded range self-join over events
+    "events_nearby",
     # the synthetic-corpus flagship: the SAME workload BENCH_r01/r02 timed
     # under the name "linkage_assignments" (that name now runs the planted
     # oracle corpus for the driver's value-exact check; see BASELINE.md note)
