@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
+        # same semi join through the Bloom-prune + exact-verify scale path
+        "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
         "event_type_counts": relational.event_type_counts,
         "union_order_extremes": relational.union_order_extremes,
         "lineitem_sequence": relational.lineitem_sequence,

@@ -85,3 +85,121 @@ def hash_join(
         right_suffix=right_suffix,
         aggregator_ray_remote_args=AGG_REMOTE_ARGS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join: the scale path when the filter side is too big to
+# broadcast exactly (reference anti/semi joins load one side in memory, e.g.
+# data_process.py's excluded-id sets -- fine at 1 M keys, impossible at 10^10).
+# A w-bit Bloom filter summarizes the filter keys at ~10 bits/key regardless
+# of key width; the probe side is pruned map-side (no shuffle of pruned rows),
+# and an exact semi join over the SURVIVORS removes the false positives, so
+# the result is EXACT while the expensive all-to-all only ever sees rows that
+# are almost certainly matches.
+# ---------------------------------------------------------------------------
+
+
+def _key_hash_pair(col, seed: int = 0x243F6A8885A308D3):
+    """Two independent 64-bit hash streams (h1, h2|1) for double hashing,
+    from either integer or string key columns (vectorized)."""
+    import numpy as np
+    import pandas as pd
+
+    from biomedical_entity_linking_ray.functions import hashing
+
+    s = col.to_pandas() if not isinstance(col, pd.Series) else col
+    if pd.api.types.is_integer_dtype(s):
+        k = s.to_numpy().astype(np.uint64)
+    else:
+        k = hashing.fnv1a_fixed(s.to_numpy(), width=96)
+    with np.errstate(over="ignore"):
+        h1 = hashing.splitmix64(k)
+        h2 = hashing.splitmix64(k ^ np.uint64(seed)) | np.uint64(1)
+    return h1, h2
+
+
+def build_bloom(
+    ds: "ray.data.Dataset", key: str, n_bits: int = 1 << 23, n_hashes: int = 4
+):
+    """Distributed Bloom build: per-block partial bitmaps, OR-merged as they
+    stream to the driver -- the driver holds exactly ONE n_bits/8-byte bitmap
+    at a time (a 2^30-bit filter for ~10^8 keys is 128 MB; the per-block
+    transfer is the same bitmap, so swap in a tree reduce if block count x
+    bitmap size ever dominates). Returns an object-store ref to the bitmap."""
+    import numpy as np
+
+    import ray as _ray
+
+    nb = int(n_bits)
+    assert nb % 8 == 0
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        h1, h2 = _key_hash_pair(t[key])
+        bm = np.zeros(nb // 8, dtype=np.uint8)
+        with np.errstate(over="ignore"):
+            for i in range(n_hashes):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(nb)
+                # .at: unbuffered, so duplicate byte indices all land
+                np.bitwise_or.at(
+                    bm, (idx >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    acc = np.zeros(nb // 8, dtype=np.uint8)
+    parts = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow", batch_size=262144)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=4):
+        for v in b["bm"]:
+            acc |= np.frombuffer(v.as_py(), dtype=np.uint8)
+    return _ray.put(acc)
+
+
+def bloom_semi_join(
+    probe: "ray.data.Dataset",
+    flt: "ray.data.Dataset",
+    probe_key: str,
+    filter_key: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    num_partitions: int = 32,
+    exact: bool = True,
+) -> "ray.data.Dataset":
+    """probe SEMI JOIN flt: Bloom-prune the probe map-side, then (exact=True)
+    verify survivors with a real hash semi join against the distinct filter
+    keys. Result is exactly the semi join; the all-to-all only moves
+    survivors (false-positive rate ~ (1-e^(-kn/w))^k). exact=False returns
+    the superset for callers that tolerate FPs (e.g. candidate generation)."""
+    import numpy as np
+
+    from biomedical_entity_linking_ray.functions import groups
+
+    nb = int(n_bits)
+    bm_ref = build_bloom(flt, filter_key, nb, n_hashes)
+
+    def prune(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return t
+        bm = cached_broadcast(bm_ref)
+        h1, h2 = _key_hash_pair(t[probe_key])
+        mask = np.ones(len(h1), dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(n_hashes):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(nb)
+                bits = bm[(idx >> np.uint64(3)).astype(np.int64)]
+                mask &= (bits >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return t.filter(pa.array(mask))
+
+    survivors = probe.map_batches(prune, batch_format="pyarrow")
+    if not exact:
+        return survivors
+    keys = groups.bucketed_distinct(flt.select_columns([filter_key]), [filter_key])
+    if filter_key != probe_key:
+        keys = keys.map_batches(
+            lambda t: t.rename_columns([probe_key]), batch_format="pyarrow")
+
+    schema = probe.schema().base_schema
+    probe_cols = list(schema.names)
+    joined = hash_join(survivors, keys, "inner", num_partitions, on=(probe_key,))
+    return joined.map_batches(
+        heal_projection(schema, lambda t: t.select(probe_cols)),
+        batch_format="pyarrow")

@@ -269,6 +269,21 @@ def parts_with_lineitems(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def parts_with_lineitems_bloom(sf_dir: str, n_bits: int = 1 << 20) -> "ray.data.Dataset":
+    """The same semi join through the SCALE path: when the filter side's key
+    set is too big to broadcast exactly, a Bloom filter (~10 bits/key) prunes
+    the probe map-side and an exact hash semi join over the survivors removes
+    the false positives (functions/joins.py bloom_semi_join). Identical
+    result to parts_with_lineitems -- the oracle checks exactness THROUGH the
+    probabilistic pruning."""
+    from biomedical_entity_linking_ray.functions.joins import bloom_semi_join
+
+    probe = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    flt = _read(sf_dir, "lineitem", ["l_partkey"])
+    out = bloom_semi_join(probe, flt, "p_partkey", "l_partkey", n_bits=n_bits)
+    return _round_cols(out, ["p_retailprice"])
+
+
 # ---------------------------------------------------------------------------
 # A11 analog: value counts
 # ---------------------------------------------------------------------------
@@ -621,6 +636,11 @@ SQL: dict[str, str] = {
               (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
     """,
     "parts_with_lineitems": """
+        SELECT p_partkey, p_name, ROUND(p_retailprice, 4) AS p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    "parts_with_lineitems_bloom": """
         SELECT p_partkey, p_name, ROUND(p_retailprice, 4) AS p_retailprice
         FROM part
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem)

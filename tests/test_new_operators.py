@@ -357,3 +357,35 @@ def test_recall_matrix_multi_run():
     out = out.set_index(["model", "k"])["recall"]
     assert out[("A", 1)] == 1.0 and out[("A", 3)] == 1.0
     assert out[("B", 1)] == 0.0 and out[("B", 3)] == 0.5
+
+
+def test_bloom_semi_join_exact_even_when_saturated():
+    """A deliberately undersized filter (256 bits for ~143 keys x 3 hashes)
+    saturates and passes nearly every probe row -- the exact-verify stage
+    must still produce exactly the semi join. Also checks the prune-only
+    superset contract and string-key hashing."""
+    from biomedical_entity_linking_ray.functions.joins import bloom_semi_join
+
+    probe = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(1000, dtype=np.int64), "v": np.arange(1000) * 0.5}))
+    flt = rd.from_pandas(pd.DataFrame(
+        {"fk": np.array(list(range(0, 1000, 7)) * 3, dtype=np.int64)}))
+    expected = list(range(0, 1000, 7))
+
+    out = bloom_semi_join(probe, flt, "k", "fk",
+                          n_bits=256, n_hashes=3, num_partitions=4).to_pandas()
+    assert sorted(out["k"]) == expected
+    assert list(out.columns) == ["k", "v"]
+
+    # prune-only path: a superset that a roomy filter keeps tight
+    sup = bloom_semi_join(probe, flt, "k", "fk", n_bits=1 << 16,
+                          n_hashes=4, exact=False).to_pandas()
+    assert set(expected) <= set(sup["k"])
+    assert len(sup) <= len(expected) + 25
+
+    # string keys hash through the FNV path
+    probe_s = rd.from_pandas(pd.DataFrame({"k": [f"id{i}" for i in range(200)]}))
+    flt_s = rd.from_pandas(pd.DataFrame({"k": [f"id{i}" for i in range(0, 200, 5)]}))
+    out_s = bloom_semi_join(probe_s, flt_s, "k", "k",
+                            n_bits=1 << 14, num_partitions=4).to_pandas()
+    assert sorted(out_s["k"]) == sorted(f"id{i}" for i in range(0, 200, 5))

@@ -51,6 +51,7 @@ def _assert_matches_oracle(name: str, con):
     "linkage_cluster_sizes", "umls_canonical",
     "events_asof_prior", "events_nearby", "events_hopping",
     "quantity_quantiles", "distinct_users_by_type", "distinct_users_hll",
+    "parts_with_lineitems_bloom",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
