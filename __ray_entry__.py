@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": relational.top_order_per_customer,
         "user_sessions": relational.user_sessions,
         "event_props_k": relational.event_props_k,
+        "user_running_value": analytics.user_running_value,
         # --- temporal joins / windows / quantiles / distinct (analytics) ---
         "events_asof_prior": analytics.events_asof_prior,
         "events_nearby": analytics.events_nearby,
@@ -244,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": analytics.distinct_users_hll,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
+        "top_bigrams": text_analysis.top_bigrams,
         "quality_scores": text_analysis.quality_scores,
         "language_id": text_analysis.language_id,
         "doc_fingerprints": text_analysis.fingerprints,
@@ -332,6 +334,19 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
                length(text) AS n_chars_norm
         FROM documents
+    """
+    out["top_bigrams"] = """
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+            FROM documents
+        ), big AS (
+            SELECT unnest([w[i] || ' ' || w[i+1]
+                           for i in range(1, len(w))]) AS bigram
+            FROM toks
+        )
+        SELECT bigram, count(*) AS n
+        FROM big GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 100
     """
     out["exact_dedup"] = """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id

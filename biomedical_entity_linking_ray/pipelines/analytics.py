@@ -270,6 +270,40 @@ def events_hopping(
 
 
 # ---------------------------------------------------------------------------
+# cumulative window: per-key running sum
+# ---------------------------------------------------------------------------
+
+def user_running_value(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Cumulative window function: per-user running sum of `value` in
+    (ts, event_id) order, as (event_id, running_value) -- the SUM() OVER
+    (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING) shape.
+
+    Running aggregates need per-key ORDER, not global order: hash-bucket by
+    user (one shuffle, bounded group count), then one vectorized sort +
+    grouped cumsum per bucket. Accumulation order matches the SQL frame
+    order exactly, so the float results are comparable. Partitioning
+    assumption: one user's history fits a worker."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy().astype(np.uint64)
+        b = (hashing.splitmix64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        rv = g.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "running_value": rv.to_numpy(np.float64).round(4),
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=65536) \
+        .groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # exact distributed quantiles via counting
 # ---------------------------------------------------------------------------
 
@@ -425,6 +459,14 @@ SQL: dict[str, str] = {
         SELECT event_type, window_start,
                count(*) AS n, round(sum(value), 4) AS sum_value
         FROM w GROUP BY event_type, window_start
+    """,
+    "user_running_value": """
+        SELECT event_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 4)
+                   AS running_value
+        FROM events
     """,
     "quantity_quantiles": """
         SELECT l_returnflag,

@@ -254,3 +254,45 @@ def fingerprints(sf_dir: str, window: int = 32) -> "ray.data.Dataset":
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", batch_size=4096
     )
+
+
+_LOWER_WORD = re.compile(r"[a-z0-9_]+")
+
+
+def top_bigrams(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
+    """Corpus-level bigram frequency, global top-k by (count desc, bigram
+    asc) -- the n-gram statistics pass of a training-data pipeline
+    (contamination screens, boilerplate detection).
+
+    Shape at scale: per-batch value_counts is the combiner (the shuffle
+    carries (bigram, partial_count), never token streams); the exact merge
+    goes through the bucketed path because bigram cardinality scales with
+    the corpus; then a per-block top-k cut -- each bigram exists exactly
+    once after the merge, so any member of the global top-k is beaten by
+    fewer than k rows within its own block and survives the cut -- leaves
+    the final all-to-all sort with <= k x num_blocks rows."""
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        bigs: list[str] = []
+        for s in t["text"].to_pylist():
+            w = _LOWER_WORD.findall(s.lower())
+            bigs.extend(map(" ".join, zip(w, w[1:])))
+        if not bigs:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.Series(bigs).value_counts()
+        return pa.table({"bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = bucketed_aggregate(
+        read_documents(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=4096),
+        ["bigram"], {"n": ("n", "sum")})
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"],
+                              ascending=[False, True]).head(k)
+
+    return counts.map_batches(local_topk, batch_format="pandas") \
+        .sort(["n", "bigram"], descending=[True, False]).limit(k)

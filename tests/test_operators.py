@@ -51,7 +51,7 @@ def _assert_matches_oracle(name: str, con):
     "linkage_cluster_sizes", "umls_canonical",
     "events_asof_prior", "events_nearby", "events_hopping",
     "quantity_quantiles", "distinct_users_by_type", "distinct_users_hll",
-    "parts_with_lineitems_bloom",
+    "parts_with_lineitems_bloom", "user_running_value", "top_bigrams",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
