@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearby": analytics.events_nearby,
         "events_hopping": analytics.events_hopping,
         "quantity_quantiles": analytics.quantity_quantiles,
+        # continuous-domain quantiles via deterministic bottom-k sample --
+        # the sampling itself is replicated in the SQL oracle
+        "value_quantiles_sampled": analytics.value_quantiles_sampled,
         "distinct_users_by_type": analytics.distinct_users_by_type,
         # the HLL estimator is deterministic given splitmix64, so the sketch
         # itself is oracled closed-form in SQL (analytics._hll_sql)

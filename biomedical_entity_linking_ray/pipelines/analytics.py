@@ -344,6 +344,74 @@ def quantity_quantiles(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# approximate quantiles for UNBOUNDED domains: deterministic bottom-k sample
+# ---------------------------------------------------------------------------
+
+def value_quantiles_sampled(sf_dir: str, k: int = 256) -> "ray.data.Dataset":
+    """Approximate per-type quantiles of the CONTINUOUS `value` column via a
+    mergeable bottom-k sample, as (event_type, median_est, p90_est).
+
+    quantity_quantiles' counting method needs a bounded distinct-value
+    domain; a continuous domain needs a sketch. The k rows with the smallest
+    splitmix64(event_id) per group are a uniform random sample that is
+    mergeable (union, keep k smallest) and DETERMINISTIC -- so the whole
+    estimator is replicated in the SQL oracle, not just pinned
+    approximately. Per-batch partial bottom-k is the combiner; the shuffle
+    carries <= k rows per (batch, group)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "h": hashing.splitmix64(t["event_id"].to_numpy().astype(np.uint64)),
+            "value": t["value"].to_numpy(),
+        })
+        top = df.sort_values("h", kind="mergesort") \
+                .groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def est(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g.nsmallest(k, "h")["value"].to_numpy())
+        n = len(v)
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q, name in ((0.5, "median_est"), (0.9, "p90_est")):
+            row[name] = round(float(v[int(np.ceil(q * n)) - 1]), 4)
+        return pd.DataFrame([row])
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("event_type").map_groups(est, batch_format="pandas")
+
+
+def _sampled_quantiles_sql(k: int = 256) -> str:
+    """The bottom-k sample + quantile pick replicated in DuckDB: same
+    splitmix64-over-HUGEINT chain, rank by hash (event_id is unique, so the
+    order is total), quantile_disc over the sampled values."""
+    return f"""
+        WITH s1 AS (SELECT event_type, value,
+                           (event_id::HUGEINT + 11400714819323198485::HUGEINT)
+                               % {_M} AS x
+                    FROM events),
+        s2 AS (SELECT event_type, value,
+                      {_mulmod('xor(x, x // 1073741824::HUGEINT)', 0xBF58476D1CE4E5B9)} AS x
+               FROM s1),
+        s3 AS (SELECT event_type, value,
+                      {_mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x
+               FROM s2),
+        hv AS (SELECT event_type, value,
+                      xor(x, x // 2147483648::HUGEINT) AS h FROM s3),
+        ranked AS (SELECT event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn
+                   FROM hv)
+        SELECT event_type,
+               round(quantile_disc(value, 0.5), 4) AS median_est,
+               round(quantile_disc(value, 0.9), 4) AS p90_est
+        FROM ranked WHERE rn <= {k}
+        GROUP BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
 # grouped distinct count: exact + HyperLogLog sketch twin
 # ---------------------------------------------------------------------------
 
@@ -481,21 +549,28 @@ SQL: dict[str, str] = {
 }
 
 
+# splitmix64 re-expressed over HUGEINT for the SQL oracles: split
+# multiplication (hi/lo 32-bit halves) keeps products under 2^96 -- a plain
+# 64x64 multiply overflows INT128.
+_M = "18446744073709551616::HUGEINT"
+
+
+def _mulmod(x: str, c: int) -> str:
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (f"((({x}) * {lo}::HUGEINT) % {_M} + "
+            f"((({x}) * {hi}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT) % {_M}")
+
+
 def _hll_sql(p: int = 12) -> str:
     """The HLL estimator replicated closed-form in DuckDB: splitmix64 over
-    HUGEINT (split multiplication keeps products under 2^96), rank as an
-    EXACT integer via length(bin(rest)) -- floor(log2) through floats is
-    wrong near 2^k boundaries -- then register max, the alpha bias constant
-    and the linear-counting small-range branch, rounded like the Ray side."""
+    HUGEINT, rank as an EXACT integer via length(bin(rest)) -- floor(log2)
+    through floats is wrong near 2^k boundaries -- then register max, the
+    alpha bias constant and the linear-counting small-range branch, rounded
+    like the Ray side."""
     m, bits = 1 << p, 64 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    M = "18446744073709551616::HUGEINT"
-
-    def mulmod(x: str, c: int) -> str:
-        hi, lo = c >> 32, c & 0xFFFFFFFF
-        return (f"((({x}) * {lo}::HUGEINT) % {M} + "
-                f"((({x}) * {hi}::HUGEINT) % 4294967296::HUGEINT)"
-                f" * 4294967296::HUGEINT) % {M}")
+    M, mulmod = _M, _mulmod
 
     return f"""
         WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -532,3 +607,4 @@ def _hll_sql(p: int = 12) -> str:
 
 
 SQL["distinct_users_hll"] = _hll_sql()
+SQL["value_quantiles_sampled"] = _sampled_quantiles_sql()
