@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_lineitems": relational.high_value_lineitems,
         "part_returnflag_sets": relational.part_returnflag_sets,
         "orders_sample": relational.orders_sample,
+        "events_stratified_sample": relational.events_stratified_sample,
         "order_flag_sequences": relational.order_flag_sequences,
         "order_stats": relational.order_stats,
         "top_order_per_customer": relational.top_order_per_customer,

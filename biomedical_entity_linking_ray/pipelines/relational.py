@@ -379,6 +379,41 @@ def orders_sample(sf_dir: str, rate: float = 0.1, seed: int = 42) -> "ray.data.D
     return _round_cols(keyed_sample(ds, "o_orderkey", rate, seed), ["o_totalprice"])
 
 
+# Per-stratum sampling rates: the training-data rebalance shape (downsample
+# the dominant crawl-like strata, keep all of the rare valuable ones).
+STRATA_RATES: dict[str, float] = {
+    "click": 0.05, "view": 0.1, "error": 0.25, "purchase": 1.0, "signup": 1.0,
+}
+
+
+def events_stratified_sample(
+    sf_dir: str, rates: dict[str, float] | None = None, seed: int = 42,
+) -> "ray.data.Dataset":
+    """Stratified deterministic sample: each event_type keeps its own
+    keyed-md5 rate (unlisted strata drop). Pure map-side -- the decision
+    depends only on (event_id, seed, stratum rate), so it is reproducible at
+    any parallelism and needs no shuffle; generalizes O7's uniform
+    keyed_sample to per-group rates."""
+    import hashlib
+
+    from biomedical_entity_linking_ray.functions.sampling import keyed_sample_threshold
+
+    th = {k: keyed_sample_threshold(v) for k, v in (rates or STRATA_RATES).items()}
+
+    def flt(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        ets = t["event_type"].to_pylist()
+        keep = [
+            hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8] < th.get(e, "")
+            for i, e in zip(ids, ets)
+        ]
+        return t.filter(pa.array(keep))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(flt, batch_format="pyarrow")
+    return _round_cols(ds, ["value"])
+
+
 # ---------------------------------------------------------------------------
 # D2 analog: rank-preserving dedup (first-occurrence order survives)
 # ---------------------------------------------------------------------------
@@ -751,3 +786,22 @@ SQL: dict[str, str] = {
         WHERE l_extendedprice > 4000.0
     """,
 }
+
+
+def _stratified_sql() -> str:
+    """Same per-stratum md5 thresholds as events_stratified_sample, derived
+    from the one shared rate table so the literals cannot drift."""
+    from biomedical_entity_linking_ray.functions.sampling import keyed_sample_threshold
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{keyed_sample_threshold(v)}'"
+        for k, v in STRATA_RATES.items())
+    return f"""
+        SELECT event_id, event_type, ROUND(value, 4) AS value
+        FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR) || ':42'), 1, 8) <
+              CASE event_type {cases} ELSE '' END
+    """
+
+
+SQL["events_stratified_sample"] = _stratified_sql()

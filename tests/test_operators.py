@@ -52,7 +52,7 @@ def _assert_matches_oracle(name: str, con):
     "events_asof_prior", "events_nearby", "events_hopping",
     "quantity_quantiles", "distinct_users_by_type", "distinct_users_hll",
     "parts_with_lineitems_bloom", "user_running_value", "top_bigrams",
-    "value_quantiles_sampled",
+    "value_quantiles_sampled", "events_stratified_sample",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
