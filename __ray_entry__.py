@@ -212,6 +212,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cluster_summary(_planted_linkage(sf_dir))
 
+    def canonical_by_tokens(sf_dir: str):
+        """G5 canonical-policy slot end to end: relabel_canonical with the
+        registered `max_tokens` policy (re-pick each cluster's canonical as
+        its highest-token member, min-file_id tie-break) over a cluster
+        structure SQL knows in closed form (cluster = lang). Exercises the
+        real scale shape -- skinny feature hash join on file_id + one bucket
+        shuffle on hash(cluster_id) + vectorized per-bucket policy."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from biomedical_entity_linking_ray.stages.clustering import relabel_canonical
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+
+        def to_assign(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "file_id": pc.cast(t["doc_id"], pa.string()),
+                "cluster_id": t["lang"],
+            })
+
+        def to_feat(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "file_id": pc.cast(t["doc_id"], pa.string()),
+                "n_tokens": t["n_tokens"],
+            })
+
+        assignments = docs.map_batches(to_assign, batch_format="pyarrow")
+        feats = text_analysis.token_counts(sf_dir).map_batches(
+            to_feat, batch_format="pyarrow")
+        return relabel_canonical(assignments, feats, policy="max_tokens")
+
     return {
         # --- relational operator battery (SQL-checked) ---
         "pricing_summary": relational.pricing_summary,
@@ -311,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir).select_columns(["doc_id", "frame_idx"]),
         # --- composite UMLS loader (S8) over a documents-derived fixture ---
         "umls_canonical": umls_canonical,
+        # --- canonical-policy slot (G5) over a SQL-known cluster structure ---
+        "canonical_by_tokens": canonical_by_tokens,
         # --- flagship linkage ---
         # linkage_assignments / linkage_cluster_sizes: DEFAULT config over the
         # planted corpus -- value-exact SQL oracle (closed-form cluster
@@ -836,6 +873,24 @@ def oracle_sql() -> dict[str, str]:
                len(list_filter(a.al, x -> x <> nm.name))::BIGINT
                  AS num_aliases
         FROM agg a JOIN nm ON a.cui0 = nm.cui0
+    """
+    # canonical-policy post-pass: clusters = lang (SQL-known), canonical =
+    # max-token member with min-file_id tie-break. file_id is VARCHAR on both
+    # sides, so the ASC tie-break compares lexicographically in both engines.
+    out["canonical_by_tokens"] = """
+        WITH tok AS (
+          SELECT CAST(doc_id AS VARCHAR) AS file_id, lang,
+                 len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+          FROM documents
+        ),
+        ranked AS (
+          SELECT lang, file_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_tokens DESC, file_id ASC) AS rn
+          FROM tok
+        )
+        SELECT t.file_id, t.lang AS cluster_id, r.file_id AS canonical_id
+        FROM tok t JOIN ranked r ON r.lang = t.lang AND r.rn = 1
     """
     # DEFAULT-config flagship over the planted corpus. The Ray side runs the
     # real pipeline (features -> contraction -> minhash-band + path blocking

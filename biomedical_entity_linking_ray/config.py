@@ -34,6 +34,9 @@ class LinkageConfig:
     # so an exact-content key could never co-block anything new)
     use_minhash_keys: bool = True
     use_path_key: bool = True    # lang + filename-stem key (catches renamed near-dups)
+    # extra blocking-key functions by registry name (stages/blocking.py
+    # register_blocker) or direct callables -- the SURVEY 2.11 blocker slot
+    extra_blockers: tuple = ()
 
     # --- hot-key salting (stage 1 shuffle skew control) ---
     # A block with > salt_cap rows is split into ceil(n/salt_cap) salted

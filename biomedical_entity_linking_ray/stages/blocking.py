@@ -40,16 +40,47 @@ from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 from biomedical_entity_linking_ray.functions.joins import hash_join
 
 
+# Blocker registry (SURVEY 2.11 extension surface, next to the encoder and
+# scorer slots): a blocker is a callable
+#     fn(batch: pa.Table[FEATURE_SCHEMA], cfg: LinkageConfig) -> pa.Table
+# returning (block_key: string, file_id: string) rows -- vectorized inside,
+# applied per feature batch alongside the built-in minhash/path keys.
+# Resolution happens DRIVER-side in emit_block_keys (names -> functions are
+# captured into the map closure), so runtime registrations reach every
+# worker regardless of import order. Reference analog: the ontology/model
+# load_function string dispatch (scispacy/evaluate.py:52-62, model.py:31-206).
+BLOCKER_REGISTRY: dict[str, object] = {}
+
+
+def register_blocker(name: str, fn) -> None:
+    """fn(batch: pa.Table, cfg) -> pa.Table(block_key, file_id)."""
+    BLOCKER_REGISTRY[name] = fn
+
+
+def resolve_blocker(blocker):
+    """Name -> callable via the registry; a callable passes through."""
+    if isinstance(blocker, str):
+        try:
+            return BLOCKER_REGISTRY[blocker]
+        except KeyError:
+            raise ValueError(
+                f"unknown blocker {blocker!r}; registered: "
+                f"{sorted(BLOCKER_REGISTRY)}") from None
+    return blocker
+
+
 def emit_block_keys(reps: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.Dataset":
     """Explode each representative row into (block_key, file_id) rows.
 
     Keys (lang-prefixed so cross-lang decoys never share a block):
     - ``m<band>:<lang>:<hash>``   MinHash LSH band keys over content shingles
     - ``p:<lang>:<stem>``         filename-stem key (catches renamed near-dups)
+    - any `cfg.extra_blockers` registry entries (SURVEY 2.11 slot)
 
     (No sha key: exact duplicates are already contracted away.)
     """
     bands = cfg.lsh_bands
+    extra = [resolve_blocker(b) for b in getattr(cfg, "extra_blockers", ())]
     # per-band prefix strings ("m0".."m15") built once; tiled per batch
     band_names = np.array([f"m{b}" for b in range(bands)], dtype=object)
     _EMPTY = pa.table({"block_key": pa.array([], pa.string()),
@@ -87,6 +118,10 @@ def emit_block_keys(reps: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.D
                     sel["lang"], sel["stem"], ":")
                 parts.append(pa.table({
                     "block_key": pkeys, "file_id": sel["file_id"]}))
+        for fn in extra:
+            t = fn(batch, cfg)
+            if t.num_rows:
+                parts.append(t.select(["block_key", "file_id"]))
 
         return pa.concat_tables(parts) if parts else _EMPTY
 

@@ -238,3 +238,97 @@ def connected_components(
         batch_format="pyarrow",
     )
     return clustered.union(singles) if has_edges else singles
+
+
+# ---------------------------------------------------------------------------
+# Canonical-policy registry (SURVEY 2.11 extension surface, next to the
+# encoder / scorer / blocker slots). A policy is a callable
+#     fn(members: pd.DataFrame) -> pd.DataFrame[cluster_id, canonical_id]
+# receiving every assignment row of a bucket (one cluster never spans
+# buckets) joined with the requested feature columns; vectorize inside.
+# Reference analog: analyzeClusters' lowest-index representative pick
+# (eval_cluster_linking.py:186-219) generalized to a named slot.
+# ---------------------------------------------------------------------------
+
+def _min_id_policy(members):
+    return members.groupby("cluster_id", as_index=False).agg(
+        canonical_id=("file_id", "min"))
+
+
+def _max_tokens_policy(members):
+    m = members.sort_values(["cluster_id", "n_tokens", "file_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    return m.drop_duplicates("cluster_id")[["cluster_id", "file_id"]] \
+        .rename(columns={"file_id": "canonical_id"})
+
+
+CANONICAL_POLICY_REGISTRY: dict[str, object] = {
+    "min_id": _min_id_policy,
+    "max_tokens": _max_tokens_policy,
+}
+
+
+def register_canonical_policy(name: str, fn) -> None:
+    """fn(members: pd.DataFrame) -> pd.DataFrame[cluster_id, canonical_id]."""
+    CANONICAL_POLICY_REGISTRY[name] = fn
+
+
+def resolve_canonical_policy(policy):
+    if isinstance(policy, str):
+        try:
+            return CANONICAL_POLICY_REGISTRY[policy]
+        except KeyError:
+            raise ValueError(
+                f"unknown canonical policy {policy!r}; registered: "
+                f"{sorted(CANONICAL_POLICY_REGISTRY)}") from None
+    return policy
+
+
+def relabel_canonical(
+    assignments: "ray.data.Dataset",
+    feats: "ray.data.Dataset | None" = None,
+    policy="min_id",
+    feature_cols: tuple = ("n_tokens",),
+    n_buckets: int = 64,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Post-pass: recompute canonical_id per cluster under a registered
+    policy. Scale shape: optional feature columns arrive via a SKINNY hash
+    join on file_id (never a corpus broadcast); cluster members co-locate
+    through one bucket shuffle on hash(cluster_id); the policy runs
+    vectorized per bucket. Resolution is driver-side so runtime
+    registrations reach every worker."""
+    import pandas as pd
+
+    from biomedical_entity_linking_ray.functions import hashing
+
+    pol = resolve_canonical_policy(policy)
+    ds = assignments.select_columns(["file_id", "cluster_id"])
+    cols = ["file_id", "cluster_id"]
+    if feats is not None and feature_cols:
+        side = feats.select_columns(["file_id", *feature_cols])
+        ds = hash_join(ds, side, "inner", num_partitions, on=("file_id",))
+        cols = cols + list(feature_cols)
+    # heal schema = post-bucket layout so an empty healed block still carries
+    # __bucket for the groupby
+    base = pa.schema(
+        [("file_id", pa.string()), ("cluster_id", pa.string())]
+        + ([(c, feats.schema().base_schema.field(c).type) for c in feature_cols]
+           if feats is not None and feature_cols else [])
+        + [("__bucket", pa.int64())])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        b = hashing.fnv1a_fixed(
+            t["cluster_id"].to_numpy(zero_copy_only=False), width=96)
+        return t.append_column(
+            "__bucket", pa.array((b % np.uint64(n_buckets)).astype(np.int64)))
+
+    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+        top = pol(g)
+        out = g.merge(top, on="cluster_id")
+        return out[["file_id", "cluster_id", "canonical_id"]]
+
+    return ds.map_batches(
+        heal_projection(base, add_bucket), batch_format="pyarrow",
+    ).groupby("__bucket").map_groups(relabel, batch_format="pandas")

@@ -389,3 +389,106 @@ def test_bloom_semi_join_exact_even_when_saturated():
     out_s = bloom_semi_join(probe_s, flt_s, "k", "k",
                             n_bits=1 << 14, num_partitions=4).to_pandas()
     assert sorted(out_s["k"]) == sorted(f"id{i}" for i in range(0, 200, 5))
+
+
+def test_blocker_registry_extends_block_keys():
+    """SURVEY 2.11 blocker slot: a registered blocker's keys join the
+    built-in minhash/path keys; extras are trimmed to (block_key, file_id);
+    direct callables pass through; unknown names fail fast driver-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.stages import blocking
+
+    def first_char(batch: pa.Table, cfg) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.array(["x"] * batch.num_rows, pa.string()),
+            pc.utf8_slice_codeunits(batch["stem"], 0, 1), ":")
+        return pa.table({
+            "block_key": keys,
+            "file_id": batch["file_id"],
+            "extra_payload": batch["stem"],  # must be trimmed away
+        })
+
+    blocking.register_blocker("first_char", first_char)
+    assert blocking.resolve_blocker("first_char") is first_char
+    assert blocking.resolve_blocker(first_char) is first_char
+    with pytest.raises(ValueError, match="unknown blocker"):
+        blocking.resolve_blocker("no_such_blocker")
+
+    reps = rd.from_arrow(pa.table({
+        "file_id": pa.array(["a", "b", "c"], pa.string()),
+        "lang": pa.array(["py"] * 3, pa.string()),
+        "stem": pa.array(["foo", "fob", "bar"], pa.string()),
+    }))
+
+    # extras only (built-ins off): exactly the custom keys, trimmed schema
+    cfg = LinkageConfig(use_minhash_keys=False, use_path_key=False,
+                        extra_blockers=("first_char",))
+    out = blocking.emit_block_keys(reps, cfg).to_pandas()
+    assert set(out.columns) == {"block_key", "file_id"}
+    assert set(zip(out["block_key"], out["file_id"])) == {
+        ("x:f", "a"), ("x:f", "b"), ("x:b", "c")}
+
+    # alongside the path key, by direct callable
+    cfg2 = LinkageConfig(use_minhash_keys=False, use_path_key=True,
+                         extra_blockers=(first_char,))
+    out2 = blocking.emit_block_keys(reps, cfg2).to_pandas()
+    got = set(zip(out2["block_key"], out2["file_id"]))
+    assert ("p:py:foo", "a") in got and ("x:b", "c") in got
+    assert len(out2) == 6
+
+
+def test_canonical_policy_relabel():
+    """G5 canonical-policy slot: max_tokens re-picks each cluster's canonical
+    (min-file_id tie-break), min_id works featureless, custom registrations
+    resolve, unknown names fail fast."""
+    from biomedical_entity_linking_ray.stages.clustering import (
+        register_canonical_policy,
+        relabel_canonical,
+        resolve_canonical_policy,
+    )
+
+    assignments = rd.from_items([
+        {"file_id": "a1", "cluster_id": "c1"},
+        {"file_id": "a2", "cluster_id": "c1"},
+        {"file_id": "a3", "cluster_id": "c1"},
+        {"file_id": "b1", "cluster_id": "c2"},
+        {"file_id": "b2", "cluster_id": "c2"},
+        {"file_id": "s1", "cluster_id": "s1"},
+    ])
+    feats = rd.from_items([
+        {"file_id": "a1", "n_tokens": 5},
+        {"file_id": "a2", "n_tokens": 9},
+        {"file_id": "a3", "n_tokens": 9},   # tie -> min file_id a2
+        {"file_id": "b1", "n_tokens": 1},
+        {"file_id": "b2", "n_tokens": 1},   # tie -> b1
+        {"file_id": "s1", "n_tokens": 0},
+    ])
+
+    out = relabel_canonical(assignments, feats, policy="max_tokens",
+                            n_buckets=4, num_partitions=2).to_pandas()
+    canon = out.drop_duplicates("cluster_id").set_index("cluster_id")["canonical_id"]
+    assert canon["c1"] == "a2" and canon["c2"] == "b1" and canon["s1"] == "s1"
+    # every member row survives with its cluster intact
+    assert sorted(out["file_id"]) == ["a1", "a2", "a3", "b1", "b2", "s1"]
+    assert out.groupby("cluster_id")["canonical_id"].nunique().max() == 1
+
+    # featureless min_id policy (no join path)
+    out2 = relabel_canonical(assignments, policy="min_id",
+                             feature_cols=(), n_buckets=4).to_pandas()
+    canon2 = out2.drop_duplicates("cluster_id").set_index("cluster_id")["canonical_id"]
+    assert canon2["c1"] == "a1" and canon2["c2"] == "b1"
+
+    # custom policy by name
+    register_canonical_policy(
+        "max_id", lambda m: m.groupby("cluster_id", as_index=False)
+        .agg(canonical_id=("file_id", "max")))
+    out3 = relabel_canonical(assignments, policy="max_id",
+                             feature_cols=(), n_buckets=4).to_pandas()
+    canon3 = out3.drop_duplicates("cluster_id").set_index("cluster_id")["canonical_id"]
+    assert canon3["c1"] == "a3" and canon3["c2"] == "b2"
+
+    with pytest.raises(ValueError, match="unknown canonical policy"):
+        resolve_canonical_policy("no_such_policy")
