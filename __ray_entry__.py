@@ -290,6 +290,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text_analysis.fingerprints,
         "token_packing": text_analysis.token_packing,
         "dictionary_extract": text_analysis.dictionary_extract,
+        # sliding-window token chunks (training/RAG context prep)
+        "doc_chunks": text_analysis.chunk_documents,
+        # sequential regex redaction; patterns chosen to FIRE on this corpus
+        # (the defaults target emails/digit runs, absent from the synthetic
+        # text, which would make the oracle vacuous)
+        "doc_scrub": lambda sf_dir: text_analysis.scrub_patterns(
+            sf_dir, patterns=(("vendor", r"spark"), ("batchy", r"batch[a-z]*"))),
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
@@ -873,6 +880,41 @@ def oracle_sql() -> dict[str, str]:
                len(list_filter(a.al, x -> x <> nm.name))::BIGINT
                  AS num_aliases
         FROM agg a JOIN nm ON a.cui0 = nm.cui0
+    """
+    # sliding-window token chunks at the default geometry (chunk_size=32,
+    # overlap=8 -> stride 24). DuckDB list slices are 1-based inclusive, so
+    # w[st+1 : st+32] is the 32-token window at 0-based start st; range()
+    # over an empty token list emits nothing, matching the Ray side.
+    out["doc_chunks"] = """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st
+          FROM toks
+        )
+        SELECT doc_id,
+               st // 24 AS chunk_idx,
+               st AS chunk_start,
+               least(32, len(w) - st)::BIGINT AS n_tokens,
+               array_to_string(w[st + 1 : st + 32], ' ') AS chunk_text
+        FROM starts
+    """
+    # sequential regex redaction cascade: pattern k counts/replaces over
+    # pattern k-1's OUTPUT, mirrored step by step ('spark' first, then
+    # 'batch[a-z]*'); patterns are corpus-firing by construction
+    out["doc_scrub"] = """
+        WITH s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, 'spark')) AS n_vendor,
+                 regexp_replace(text, 'spark', '[VENDOR]', 'g') AS t1
+          FROM documents
+        )
+        SELECT doc_id, n_vendor,
+               len(regexp_extract_all(t1, 'batch[a-z]*')) AS n_batchy,
+               regexp_replace(t1, 'batch[a-z]*', '[BATCHY]', 'g') AS clean_text
+        FROM s1
     """
     # canonical-policy post-pass: clusters = lang (SQL-known), canonical =
     # max-token member with min-file_id tie-break. file_id is VARCHAR on both

@@ -296,3 +296,96 @@ def top_bigrams(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
 
     return counts.map_batches(local_topk, batch_format="pandas") \
         .sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def chunk_documents(
+    sf_dir: str, chunk_size: int = 32, overlap: int = 8,
+) -> "ray.data.Dataset":
+    """(doc_id, chunk_idx, chunk_start, n_tokens, chunk_text): sliding-window
+    token chunks -- the context-window prep pass of a training/RAG pipeline
+    (reference analog: the mention context windows of data_process.py, as a
+    corpus-wide op). Starts at 0, stride, 2*stride, ... (stride = chunk_size
+    - overlap) while start < n_tokens; the tail chunk is short; empty docs
+    emit no chunks.
+
+    Shape at scale: a pure flat map -- one content pass, rows fan out
+    ~tokens/stride per doc, no shuffle, streaming all the way to the sink.
+    Regex tokenization is inherently per-string (same shape as
+    token_counts); everything around it is array building."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_size")
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        cidx: list[int] = []
+        cstart: list[int] = []
+        ntok: list[int] = []
+        ctext: list[str] = []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            w = _WORD.findall(s)
+            for j, st in enumerate(range(0, len(w), stride)):
+                seg = w[st:st + chunk_size]
+                doc_ids.append(d)
+                cidx.append(j)
+                cstart.append(st)
+                ntok.append(len(seg))
+                ctext.append(" ".join(seg))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "chunk_start": pa.array(cstart, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "chunk_text": pa.array(ctext, pa.string()),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=2048)
+
+
+class PatternScrubber:
+    """Actor-pool callable: compiled scrub patterns as per-actor state.
+
+    Policy scrubbing / PII-removal shape: every match of each named pattern
+    is replaced with ``[<NAME>]`` and counted; patterns apply IN ORDER, each
+    over the previous pattern's output (so a later pattern never re-matches
+    inside an earlier redaction marker, and the oracle can replicate the
+    cascade step by step). Defaults target emails and long digit runs; the
+    pattern list is a constructor arg so deployments swap in their policy."""
+
+    DEFAULT_PATTERNS = (
+        ("email", r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"),
+        ("number", r"[0-9]{6,}"),
+    )
+
+    def __init__(self, patterns=None):
+        pats = tuple(patterns) if patterns is not None else self.DEFAULT_PATTERNS
+        self.pats = [(name, re.compile(rx)) for name, rx in pats]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        cols: dict = {"doc_id": t["doc_id"]}
+        cur = texts
+        for name, rx in self.pats:
+            marker = f"[{name.upper()}]"
+            nxt: list[str] = []
+            cnt = np.zeros(len(cur), dtype=np.int64)
+            for i, s in enumerate(cur):
+                s2, k = rx.subn(marker, s)
+                cnt[i] = k
+                nxt.append(s2)
+            cols[f"n_{name}"] = pa.array(cnt)
+            cur = nxt
+        cols["clean_text"] = pa.array(cur, pa.string())
+        return pa.table(cols)
+
+
+def scrub_patterns(
+    sf_dir: str, patterns=None, concurrency: int = 2,
+) -> "ray.data.Dataset":
+    """(doc_id, n_<pattern>..., clean_text): sequential regex redaction over
+    documents. Actor pool so the compiled pattern set is per-actor state."""
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        PatternScrubber,
+        fn_constructor_kwargs={"patterns": patterns},
+        concurrency=concurrency, batch_size=2048, batch_format="pyarrow")

@@ -492,3 +492,64 @@ def test_canonical_policy_relabel():
 
     with pytest.raises(ValueError, match="unknown canonical policy"):
         resolve_canonical_policy("no_such_policy")
+
+
+def test_chunk_documents_reconstructs_token_stream():
+    """Sliding-window chunking (chunk=32, overlap=8, stride 24): chunk j
+    starts at 24j, overlapping tokens dedup away on reconstruction, tail
+    chunks are short, empty docs emit nothing."""
+    import re
+
+    from biomedical_entity_linking_ray.pipelines.text_analysis import chunk_documents
+
+    df = chunk_documents(SF_DIR).to_pandas()
+    assert (df["chunk_start"] == df["chunk_idx"] * 24).all()
+    assert df["n_tokens"].between(1, 32).all()
+    assert (df["chunk_text"].str.split().str.len() == df["n_tokens"]).all()
+
+    # exact reconstruction: chunk0 ++ chunk_j[8:] == the doc's token stream
+    word = re.compile(r"[A-Za-z0-9_]+")
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = docs.set_index("doc_id")["text"]
+    for doc_id, g in df.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        toks: list = []
+        for j, t in enumerate(g["chunk_text"]):
+            w = t.split()
+            toks.extend(w if j == 0 else w[8:])
+        assert toks == word.findall(texts[doc_id]), doc_id
+    # every non-empty doc is covered
+    n_expected = (texts.str.count(r"[A-Za-z0-9_]+") > 0).sum()
+    assert df["doc_id"].nunique() == n_expected
+
+
+def test_pattern_scrubber_cascade():
+    """Sequential redaction: each pattern counts/replaces over the previous
+    pattern's output; defaults hit emails + long digit runs; markers never
+    re-match later patterns."""
+    import pyarrow as pa
+
+    from biomedical_entity_linking_ray.pipelines.text_analysis import PatternScrubber
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail bob@example.com and alice@test.org card 1234567890",
+            "no pii here",
+            "xx 999999 yy 123 zz",   # 123 too short for the number pattern
+        ], pa.string()),
+    })
+    out = PatternScrubber()(t).to_pandas()
+    assert list(out["n_email"]) == [2, 0, 0]
+    assert list(out["n_number"]) == [1, 0, 1]
+    assert out["clean_text"][0] == "mail [EMAIL] and [EMAIL] card [NUMBER]"
+    assert out["clean_text"][2] == "xx [NUMBER] yy 123 zz"
+
+    # cascade order: second pattern runs over the first one's output
+    s = PatternScrubber(patterns=(("a", r"foo+"), ("b", r"fo")))
+    out2 = s(pa.table({"doc_id": pa.array([1], pa.int64()),
+                       "text": pa.array(["foooo fo foo"], pa.string())})).to_pandas()
+    assert out2["n_a"][0] == 2 and out2["n_b"][0] == 1
+    assert out2["clean_text"][0] == "[A] [B] [A]"
