@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, patterns=(("vendor", r"spark"), ("batchy", r"batch[a-z]*"))),
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
+        # incremental dedup vs a reference corpus (Bloom map-side shortcut:
+        # filter misses are provably novel and never shuffle)
+        "novel_documents": dedup.novel_documents,
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
         # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
@@ -880,6 +883,13 @@ def oracle_sql() -> dict[str, str]:
                len(list_filter(a.al, x -> x <> nm.name))::BIGINT
                  AS num_aliases
         FROM agg a JOIN nm ON a.cui0 = nm.cui0
+    """
+    # incremental dedup: the Ray side keys on sha256(text) through a Bloom
+    # prune + exact anti join; content equality is the same predicate
+    out["novel_documents"] = """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
     """
     # sliding-window token chunks at the default geometry (chunk_size=32,
     # overlap=8 -> stride 24). DuckDB list slices are 1-based inclusive, so

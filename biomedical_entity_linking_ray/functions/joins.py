@@ -154,6 +154,20 @@ def build_bloom(
     return _ray.put(acc)
 
 
+def _bloom_hit_mask(t: "pa.Table", key: str, bm, nb: int, n_hashes: int):
+    """Vectorized membership test: True where ALL n_hashes bits are set."""
+    import numpy as np
+
+    h1, h2 = _key_hash_pair(t[key])
+    mask = np.ones(len(h1), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(nb)
+            bits = bm[(idx >> np.uint64(3)).astype(np.int64)]
+            mask &= (bits >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+    return mask
+
+
 def bloom_semi_join(
     probe: "ray.data.Dataset",
     flt: "ray.data.Dataset",
@@ -179,15 +193,8 @@ def bloom_semi_join(
     def prune(t: "pa.Table") -> "pa.Table":
         if t.num_rows == 0:
             return t
-        bm = cached_broadcast(bm_ref)
-        h1, h2 = _key_hash_pair(t[probe_key])
-        mask = np.ones(len(h1), dtype=bool)
-        with np.errstate(over="ignore"):
-            for i in range(n_hashes):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(nb)
-                bits = bm[(idx >> np.uint64(3)).astype(np.int64)]
-                mask &= (bits >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
-        return t.filter(pa.array(mask))
+        return t.filter(pa.array(
+            _bloom_hit_mask(t, probe_key, cached_broadcast(bm_ref), nb, n_hashes)))
 
     survivors = probe.map_batches(prune, batch_format="pyarrow")
     if not exact:
@@ -203,3 +210,60 @@ def bloom_semi_join(
     return joined.map_batches(
         heal_projection(schema, lambda t: t.select(probe_cols)),
         batch_format="pyarrow")
+
+
+def bloom_anti_join(
+    probe: "ray.data.Dataset",
+    flt: "ray.data.Dataset",
+    probe_key: str,
+    filter_key: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """probe ANTI JOIN flt (probe rows whose key is NOT in flt), EXACT.
+
+    The incremental-dedup scale shape: a Bloom filter has no false
+    negatives, so a probe row that MISSES the filter is provably novel and
+    is emitted map-side without touching any shuffle; only Bloom HITS (true
+    members plus the ~(1-e^(-kn/w))^k false-positive sliver) go through the
+    exact left-anti hash join against the distinct filter keys. A typical
+    incremental batch is mostly novel, so the all-to-all sees a small
+    fraction of the input. Cost note: the two branches re-execute the lazy
+    probe scan twice (Ray Data has no multi-output operator); with pruned
+    parquet reads that 2x scan is far cheaper than shuffling the misses.
+    """
+    import numpy as np  # noqa: F401  (mask kernel)
+
+    from biomedical_entity_linking_ray.functions import groups
+
+    nb = int(n_bits)
+    bm_ref = build_bloom(flt, filter_key, nb, n_hashes)
+
+    def misses(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return t
+        m = _bloom_hit_mask(t, probe_key, cached_broadcast(bm_ref), nb, n_hashes)
+        return t.filter(pa.array(~m))
+
+    def hits(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return t
+        m = _bloom_hit_mask(t, probe_key, cached_broadcast(bm_ref), nb, n_hashes)
+        return t.filter(pa.array(m))
+
+    novel_direct = probe.map_batches(misses, batch_format="pyarrow")
+    candidates = probe.map_batches(hits, batch_format="pyarrow")
+
+    keys = groups.bucketed_distinct(flt.select_columns([filter_key]), [filter_key])
+    if filter_key != probe_key:
+        keys = keys.map_batches(
+            lambda t: t.rename_columns([probe_key]), batch_format="pyarrow")
+
+    schema = probe.schema().base_schema
+    probe_cols = list(schema.names)
+    anti = hash_join(candidates, keys, "left_anti", num_partitions, on=(probe_key,))
+    anti = anti.map_batches(
+        heal_projection(schema, lambda t: t.select(probe_cols)),
+        batch_format="pyarrow")
+    return novel_direct.union(anti)

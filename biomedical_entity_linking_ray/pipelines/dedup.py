@@ -588,3 +588,51 @@ def embedding_near_dup_pairs(
                              all_pairs_max=all_pairs_max,
                              payload=units)
     return bucketed_aggregate(pairs, ["id_a", "id_b"], {"cosine": ("cosine", "max")})
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs an existing reference corpus
+# ---------------------------------------------------------------------------
+
+def novel_documents(
+    sf_dir: str,
+    ref_mod: int = 3,
+    n_bits: int = 1 << 20,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """(doc_id, lang, n_chars): documents whose CONTENT does not appear in
+    the reference corpus -- the incremental-dedup pass of a continuously
+    ingesting pipeline (drop what the existing 100-TB corpus already has).
+
+    Scale shape: both sides key on sha256(text) (64-byte key regardless of
+    doc size); the reference side is summarized into ONE Bloom bitmap
+    (bits/key constant, independent of corpus row width), probe rows that
+    MISS the filter are emitted map-side with no shuffle (no false
+    negatives => provably novel), and only Bloom hits go through the exact
+    left-anti hash join (functions/joins.py:bloom_anti_join). Here the
+    reference corpus is the doc_id % ref_mod == 0 slice of the same table so
+    the result is SQL-checkable."""
+    from biomedical_entity_linking_ray.functions.joins import bloom_anti_join
+
+    def with_sha(t: pa.Table) -> pa.Table:
+        sha = [content_sha_of(s) for s in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "n_chars": t["n_chars"],
+            "sha": pa.array(sha, pa.string()),
+        })
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).map_batches(
+        with_sha, batch_format="pyarrow")
+    m = int(ref_mod)
+
+    def ref_slice(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy(zero_copy_only=False) % m == 0
+        return t.filter(pa.array(keep)).select(["sha"])
+
+    ref = docs.map_batches(ref_slice, batch_format="pyarrow")
+    novel = bloom_anti_join(docs, ref, "sha", "sha",
+                            n_bits=n_bits, num_partitions=num_partitions)
+    return novel.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow")

@@ -553,3 +553,32 @@ def test_pattern_scrubber_cascade():
                        "text": pa.array(["foooo fo foo"], pa.string())})).to_pandas()
     assert out2["n_a"][0] == 2 and out2["n_b"][0] == 1
     assert out2["clean_text"][0] == "[A] [B] [A]"
+
+
+def test_bloom_anti_join_exact_and_shortcut():
+    """Bloom anti join: exact result even with a saturated undersized filter
+    (everything routed through the verify branch), and with a roomy filter
+    (most rows take the map-side novel shortcut); string keys; column set
+    preserved."""
+    from biomedical_entity_linking_ray.functions.joins import bloom_anti_join
+
+    probe = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(1000, dtype=np.int64), "v": np.arange(1000) * 0.5}))
+    flt = rd.from_pandas(pd.DataFrame(
+        {"fk": np.array(list(range(0, 1000, 7)) * 2, dtype=np.int64)}))
+    expected = [i for i in range(1000) if i % 7 != 0]
+
+    for bits in (256, 1 << 16):   # saturated and roomy
+        out = bloom_anti_join(probe, flt, "k", "fk",
+                              n_bits=bits, n_hashes=3,
+                              num_partitions=4).to_pandas()
+        assert sorted(out["k"]) == expected, bits
+        assert set(out.columns) == {"k", "v"}
+
+    # string keys; empty filter side -> everything is novel
+    probe_s = rd.from_pandas(pd.DataFrame({"k": [f"id{i}" for i in range(50)]}))
+    flt_s = rd.from_pandas(pd.DataFrame({"k": ["id1", "id2"]}))
+    out_s = bloom_anti_join(probe_s, flt_s, "k", "k",
+                            n_bits=1 << 12, num_partitions=2).to_pandas()
+    assert sorted(out_s["k"]) == sorted(
+        f"id{i}" for i in range(50) if i not in (1, 2))
