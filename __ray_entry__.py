@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental dedup vs a reference corpus (Bloom map-side shortcut:
         # filter misses are provably novel and never shuffle)
         "novel_documents": dedup.novel_documents,
+        # test-set decontamination: training docs sharing no word 4-gram
+        # with the benchmark slice (map-side filter vs a broadcast gram set)
+        "decontaminated_documents": dedup.decontaminate_documents,
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
         # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
@@ -890,6 +893,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, n_chars
         FROM documents
         WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
+    """
+    # test-set decontamination at the default geometry (bench = doc_id % 7
+    # == 0, word 4-grams over the chunking tokenizer). DuckDB slices are
+    # 1-based inclusive, so w[i+1 : i+4] is the 4-token window at 0-based
+    # start i; range(0, len-3) enumerates exactly the len-4+1 windows and is
+    # empty for docs under 4 tokens (those are clean by definition).
+    out["decontaminated_documents"] = """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(w[i + 1 : i + 4], ' ') AS g
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 3)) AS i
+                FROM toks)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+        hit AS (
+          SELECT DISTINCT t.doc_id
+          FROM grams t JOIN bench USING (g)
+          WHERE t.doc_id % 7 != 0
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.doc_id % 7 != 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM hit)
     """
     # sliding-window token chunks at the default geometry (chunk_size=32,
     # overlap=8 -> stride 24). DuckDB list slices are 1-based inclusive, so

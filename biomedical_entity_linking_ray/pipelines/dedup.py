@@ -16,6 +16,7 @@ near-dup IS the product in the target domain (SURVEY.md 2.7 note).
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -636,3 +637,105 @@ def novel_documents(
     return novel.map_batches(
         lambda t: t.select(["doc_id", "lang", "n_chars"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination: drop training docs sharing any word n-gram with
+# a benchmark/eval corpus
+# ---------------------------------------------------------------------------
+
+# same tokenizer the chunking/token oracles use (text_analysis._WORD)
+_WORD = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _gram_hashes_per_doc(texts: list[str], n: int) -> list[np.ndarray]:
+    """Word n-gram hashes per text: regex tokenize (C), ONE vectorized
+    FNV-1a pass over every token in the batch, then a positional polynomial
+    combine over each doc's length-n sliding windows (order-sensitive, so
+    'a b|c' != 'a|b c' cannot arise -- tokens are atomic). Docs with fewer
+    than n tokens emit no grams."""
+    toks = [_WORD.findall(s) for s in texts]
+    flat = [w for ws in toks for w in ws]
+    h = hashing.fnv1a_fixed(flat, width=32) if flat else np.zeros(0, np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    with np.errstate(over="ignore"):
+        powers = np.empty(n, dtype=np.uint64)
+        acc = np.uint64(1)
+        for j in range(n - 1, -1, -1):
+            powers[j] = acc
+            acc = acc * np.uint64(0x100000001B3)
+        for ws in toks:
+            m = len(ws)
+            hh = h[pos:pos + m]
+            pos += m
+            if m < n:
+                out.append(np.zeros(0, dtype=np.uint64))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(hh, n)
+            out.append(hashing.splitmix64(
+                (win * powers).sum(axis=1, dtype=np.uint64)))
+    return out
+
+
+def decontaminate_documents(
+    sf_dir: str,
+    bench_mod: int = 7,
+    ngram_n: int = 4,
+) -> "ray.data.Dataset":
+    """(doc_id, lang, n_chars): training documents (doc_id % bench_mod != 0)
+    that share NO word n-gram with the benchmark slice (doc_id % bench_mod
+    == 0) -- test-set decontamination, the pass a training-data pipeline
+    runs so the corpus cannot leak its eval benchmarks (the 13-gram-overlap
+    rule of Brown et al. 2020 'Language Models are Few-Shot Learners' app. C,
+    at n=4 for this tiny synthetic vocabulary).
+
+    Scale shape: the benchmark side is an EVAL corpus, small by nature (MBs;
+    ~1e8 grams = 800 MB of uint64 worst case), so its distinct gram hashes
+    are reduced per-batch, gathered once, sorted, and broadcast via ray.put;
+    the 100-TB training side then streams through a pure map-side filter --
+    tokenize, hash grams (vectorized batch FNV + windowed combine), binary-
+    search the broadcast array -- with NO shuffle anywhere. A pathologically
+    large 'benchmark' side should use novel_documents' bloom_anti_join shape
+    instead. Equality is on 64-bit gram hashes: a false drop needs an FNV
+    collision between distinct grams (~1e-7 at 3M x 3M grams) -- the usual
+    sketch-grade guarantee, and enough for the driver's value-exact check."""
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    m = int(bench_mod)
+    n = int(ngram_n)
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy(zero_copy_only=False) % m == 0
+        tt = t.filter(pa.array(keep))
+        gs = _gram_hashes_per_doc(tt["text"].to_pylist(), n)
+        u = (np.unique(np.concatenate(gs)) if gs
+             else np.zeros(0, dtype=np.uint64))
+        return pa.table({"g": pa.array(u, pa.uint64())})
+
+    # bounded driver gather: per-batch-unique bench gram hashes only
+    # (separate pruned scan: the bench pass needs no lang/n_chars payload)
+    gathered = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bench_grams, batch_format="pyarrow").to_pandas()
+    bench_sorted = np.unique(gathered["g"].to_numpy().astype(np.uint64))
+    ref = ray.put(bench_sorted)
+
+    def clean_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tt = t.filter(pa.array(ids % m != 0))
+        out = tt.select(["doc_id", "lang", "n_chars"])
+        if tt.num_rows == 0:
+            return out
+        b = cached_broadcast(ref)
+        gs = _gram_hashes_per_doc(tt["text"].to_pylist(), n)
+        keep = np.ones(tt.num_rows, dtype=bool)
+        if b.size:
+            for i, g in enumerate(gs):
+                if g.size:
+                    idx = np.searchsorted(b, g)
+                    idx[idx == b.size] = 0
+                    keep[i] = not np.any(b[idx] == g)
+        return out.filter(pa.array(keep))
+
+    return docs.map_batches(clean_only, batch_format="pyarrow")

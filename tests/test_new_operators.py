@@ -582,3 +582,36 @@ def test_bloom_anti_join_exact_and_shortcut():
                             n_bits=1 << 12, num_partitions=2).to_pandas()
     assert sorted(out_s["k"]) == sorted(
         f"id{i}" for i in range(50) if i not in (1, 2))
+
+
+def test_decontaminate_documents_planted(tmp_path):
+    """Test-set decontamination on a handcrafted corpus: bench = doc_id %
+    7 == 0; a train doc is dropped iff it shares a word 4-gram with bench.
+    Covers: interior-overlap hit, exact-copy hit, no-overlap keep,
+    under-4-token keep, and 3-gram-only-overlap keep (boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from biomedical_entity_linking_ray.pipelines.dedup import decontaminate_documents
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",      # bench
+        1: "xx beta gamma delta epsilon yy",      # hit: interior 4-gram
+        2: "zeta eta theta iota kappa",           # clean: no shared gram
+        3: "one two three",                       # clean: < 4 tokens
+        4: "alpha beta gamma delta epsilon",      # hit: exact copy of bench
+        5: "beta gamma delta QQQ xx",             # clean: only a 3-gram shared
+        6: "mu nu xi omicron pi",                 # clean
+        7: "rho sigma tau upsilon phi",           # bench
+        8: "chi rho sigma tau upsilon psi",       # hit: 4-gram from doc 7
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(texts[k]) for k in sorted(texts)], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = decontaminate_documents(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3, 5, 6]
+    assert set(out.columns) == {"doc_id", "lang", "n_chars"}
