@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,
         "quality_scores": text_analysis.quality_scores,
+        # Gopher-style intra-doc repetition quality signals
+        "repetition_scores": text_analysis.repetition_scores,
         "language_id": text_analysis.language_id,
         "doc_fingerprints": text_analysis.fingerprints,
         "token_packing": text_analysis.token_packing,
@@ -388,6 +390,45 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
                length(text) AS n_chars_norm
         FROM documents
+    """
+    # intra-doc repetition fractions over the chunking tokenizer; docs with
+    # zero tokens emit no row on either side. Bigram fraction normalizes by
+    # max(n-1, 1) so single-token docs read 0.0.
+    out["repetition_scores"] = """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+          FROM documents
+        ),
+        flat AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+        tc AS (
+          SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+          FROM flat GROUP BY doc_id
+        ),
+        topt AS (
+          SELECT doc_id, max(c) AS mc
+          FROM (SELECT doc_id, tok, count(*) AS c
+                FROM flat GROUP BY doc_id, tok)
+          GROUP BY doc_id
+        ),
+        bi AS (
+          SELECT doc_id, array_to_string(w[i + 1 : i + 2], ' ') AS g
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+                FROM toks)
+        ),
+        topb AS (
+          SELECT doc_id, max(c) AS mb
+          FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+          GROUP BY doc_id
+        )
+        SELECT tc.doc_id,
+               tc.n AS n_tokens,
+               1.0 - tc.d / CAST(tc.n AS DOUBLE) AS dup_token_frac,
+               topt.mc / CAST(tc.n AS DOUBLE) AS top_token_frac,
+               COALESCE(topb.mb, 0) / CAST(GREATEST(tc.n - 1, 1) AS DOUBLE)
+                 AS top_bigram_frac
+        FROM tc
+        JOIN topt USING (doc_id)
+        LEFT JOIN topb USING (doc_id)
     """
     out["top_bigrams"] = """
         WITH toks AS (

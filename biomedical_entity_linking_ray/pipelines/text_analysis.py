@@ -61,6 +61,66 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def repetition_scores(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, dup_token_frac, top_token_frac, top_bigram_frac):
+    intra-document repetition signals -- the Gopher-style quality-filter
+    family (Rae et al. 2021, 'Scaling Language Models', app. A1.3: duplicate
+    n-gram / top-n-gram fractions), the filters a training-data pipeline
+    applies before dedup to drop boilerplate and degenerate repetition.
+    Zero-token docs emit no row (they have no repetition statistics).
+
+    Shape at scale: one content pass, no shuffle -- all three fractions are
+    per-doc, computed from one vectorized FNV pass over the batch's tokens
+    plus np.unique counts per doc (count-on-64-bit-hash == count-on-string
+    whp; a collision needs two distinct tokens of one doc to collide in
+    2^64). Streams to the sink."""
+    from biomedical_entity_linking_ray.functions import hashing
+
+    P = np.uint64(0x100000001B3)
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = [_WORD.findall(s) for s in texts]
+        flat = [w for ws in toks for w in ws]
+        h = (hashing.fnv1a_fixed(flat, width=32) if flat
+             else np.zeros(0, np.uint64))
+        keep: list[int] = []
+        n_tok: list[int] = []
+        dup_f: list[float] = []
+        top_t: list[float] = []
+        top_b: list[float] = []
+        pos = 0
+        with np.errstate(over="ignore"):
+            for i, ws in enumerate(toks):
+                m = len(ws)
+                hh = h[pos:pos + m]
+                pos += m
+                if m == 0:
+                    continue
+                _, counts = np.unique(hh, return_counts=True)
+                keep.append(i)
+                n_tok.append(m)
+                dup_f.append(1.0 - counts.size / m)
+                top_t.append(counts.max() / m)
+                if m < 2:
+                    top_b.append(0.0)
+                else:
+                    bg = hashing.splitmix64(hh[:-1] * P + hh[1:])
+                    _, bc = np.unique(bg, return_counts=True)
+                    top_b.append(bc.max() / (m - 1))
+        ids = t["doc_id"].take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(np.asarray(n_tok, dtype=np.int64)),
+            "dup_token_frac": pa.array(np.asarray(dup_f, dtype=np.float64)),
+            "top_token_frac": pa.array(np.asarray(top_t, dtype=np.float64)),
+            "top_bigram_frac": pa.array(np.asarray(top_b, dtype=np.float64)),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096)
+
+
 class QualityScorer:
     """Actor-pool callable: compiled regexes + stopword set as per-actor state.
 

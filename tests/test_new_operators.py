@@ -615,3 +615,40 @@ def test_decontaminate_documents_planted(tmp_path):
     out = decontaminate_documents(str(tmp_path)).to_pandas()
     assert sorted(out["doc_id"]) == [2, 3, 5, 6]
     assert set(out.columns) == {"doc_id", "lang", "n_chars"}
+
+
+def test_repetition_scores_planted(tmp_path):
+    """Repetition quality signals on handcrafted docs: all-same-token,
+    all-distinct, single-token (bigram frac 0), and zero-token docs (no
+    row emitted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from biomedical_entity_linking_ray.pipelines.text_analysis import repetition_scores
+
+    docs = [
+        (0, "a a a a"),     # dup 0.75, top_token 1.0, top_bigram 1.0
+        (1, "a b c d"),     # dup 0.0, top_token 0.25, top_bigram 1/3
+        (2, "solo"),        # n=1: bigram frac 0.0
+        (3, ""),            # zero tokens: no row
+        (4, "!!! ???"),     # zero word tokens: no row
+        (5, "x y x y x"),   # dup 0.6, top_token 3/5, bigrams: x y (2), y x (2) -> 0.5
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = repetition_scores(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1, 2, 5]
+    assert out.loc[0, "dup_token_frac"] == pytest.approx(0.75)
+    assert out.loc[0, "top_token_frac"] == pytest.approx(1.0)
+    assert out.loc[0, "top_bigram_frac"] == pytest.approx(1.0)
+    assert out.loc[1, "dup_token_frac"] == pytest.approx(0.0)
+    assert out.loc[1, "top_token_frac"] == pytest.approx(0.25)
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(1 / 3)
+    assert out.loc[2, "n_tokens"] == 1
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+    assert out.loc[5, "dup_token_frac"] == pytest.approx(0.6)
+    assert out.loc[5, "top_token_frac"] == pytest.approx(0.6)
+    assert out.loc[5, "top_bigram_frac"] == pytest.approx(0.5)
