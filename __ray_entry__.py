@@ -307,6 +307,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # test-set decontamination: training docs sharing no word 4-gram
         # with the benchmark slice (map-side filter vs a broadcast gram set)
         "decontaminated_documents": dedup.decontaminate_documents,
+        # CCNet/RefinedWeb-style paragraph-level dedup: drop every non-first
+        # occurrence of a duplicated paragraph, rebuild documents. The
+        # synthetic corpus is single-line, so the word-window segmenter
+        # (16-word parts) stands in for '\n' paragraphs; the SQL oracle
+        # replicates the same segmentation + global first-wins rule
+        "paragraph_dedup": dedup.paragraph_dedup,
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
         # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
@@ -446,6 +452,34 @@ def oracle_sql() -> dict[str, str]:
     out["exact_dedup"] = """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         FROM documents
+    """
+    # paragraph dedup, window segmenter (W=16 words): an occurrence is kept
+    # iff it is the global first under (doc_id, idx); documents are rebuilt
+    # from kept parts in order (empty string when nothing survives)
+    out["paragraph_dedup"] = """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS wi
+            FROM documents
+        ), paras AS (
+            SELECT doc_id, CAST(floor((wi - 1) / 16) AS BIGINT) AS idx,
+                   string_agg(w, ' ' ORDER BY wi) AS para
+            FROM words GROUP BY doc_id, CAST(floor((wi - 1) / 16) AS BIGINT)
+        ), ranked AS (
+            SELECT doc_id, idx, para,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, idx) AS rn
+            FROM paras
+        ), stats AS (
+            SELECT doc_id, COUNT(*) AS n_parts FROM paras GROUP BY doc_id
+        )
+        SELECT s.doc_id, COALESCE(k.text_clean, '') AS text_clean,
+               s.n_parts, COALESCE(k.n_kept, 0) AS n_kept
+        FROM stats s LEFT JOIN (
+            SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM ranked WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
     """
     out["knn_bruteforce"] = """
         WITH q AS (

@@ -739,3 +739,184 @@ def decontaminate_documents(
         return out.filter(pa.array(keep))
 
     return docs.map_batches(clean_only, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (CCNet / RefinedWeb line-dedup analog)
+# ---------------------------------------------------------------------------
+
+def _segment_lists(texts: pa.ChunkedArray | pa.Array, window: int | None,
+                   delim: str | None):
+    """Segment a string column into parts, fully vectorized.
+
+    Returns (paras: pa.Array of part strings flattened doc-major,
+    n_parts: np.ndarray per-doc part counts). Two segmenters:
+    - delim: parts are `pc.split_pattern(text, delim)` elements (real
+      corpora: '\\n' lines / '\\n\\n' paragraphs),
+    - window: parts are non-overlapping runs of `window` space-separated
+      words, rejoined with ' ' (synthetic single-line corpora). Built with
+      offset arithmetic over the flattened word array + one Arrow
+      binary_join -- no per-row Python.
+    Empty text yields exactly one empty part in both modes (str.split
+    semantics), matching DuckDB string_split.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if delim is not None:
+        lists = pc.split_pattern(texts, delim)
+        offs = lists.offsets.to_numpy()
+        return lists.flatten(), np.diff(offs)
+    assert window and window > 0
+    words = pc.split_pattern(texts, " ")
+    flat = words.flatten()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offs)                       # words per doc (>= 1)
+    n_parts = -(-counts // window)               # ceil
+    total = int(n_parts.sum())
+    sizes = np.full(total, window, dtype=np.int64)
+    last = np.cumsum(n_parts) - 1
+    sizes[last] = counts - window * (n_parts - 1)
+    new_offs = np.empty(total + 1, dtype=np.int64)
+    new_offs[0] = 0
+    np.cumsum(sizes, out=new_offs[1:])
+    # int32 offsets: a batch's flattened word count stays < 2^31 (batch_size
+    # bounds docs/batch; blocks are ~128 MB)
+    la = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), flat)
+    return pc.binary_join(la, " "), n_parts
+
+
+def _part_keys(paras: pa.Array) -> list[str]:
+    """128-bit content key per part: sha256 hex truncated to 32 chars.
+
+    Exact-equality key (collision odds ~2^-64 at 10^12 parts); half the
+    shuffle width of full sha hex. C digest per element -- the only
+    non-vectorized work in the segment stage, same cost shape as
+    exact_dedup's content_sha_of."""
+    import hashlib
+
+    return [hashlib.sha256(p.encode("utf-8", "surrogatepass")).hexdigest()[:32]
+            for p in paras.to_pylist()]
+
+
+def paragraph_dedup(
+    sf_dir: str,
+    window: int | None = 16,
+    delim: str | None = None,
+    n_buckets: int = 64,
+    broadcast_max: int = 500_000,
+) -> "ray.data.Dataset":
+    """Remove globally duplicated paragraphs, keep first occurrence,
+    reassemble documents: (doc_id, text_clean, n_parts, n_kept).
+
+    The CCNet/RefinedWeb line-level dedup step (Wenzek et al. 2020 §4.1;
+    Penedo et al. 2023 §G): an exact-substring-at-paragraph-granularity
+    complement to the whole-document dedup family above. An occurrence of a
+    paragraph is kept iff it is the globally FIRST occurrence under the
+    total order (doc_id, part_idx); every other occurrence (cross- AND
+    intra-document) is dropped, and each document is rebuilt from its kept
+    parts in order (possibly empty).
+
+    Scale shape: the segment stage ships only skinny (key, packed-position)
+    rows -- part text never enters the shuffle; winners come from ONE
+    bucketed min-aggregation (group count = n_buckets regardless of distinct
+    paragraph cardinality); kept positions fold back to one int64-list row
+    per surviving doc, joined to the pruned documents scan via bounded
+    broadcast with a hash-join fallback; part text is re-derived map-side
+    from the same deterministic segmenter. doc_id must be a non-negative
+    int64 and part counts < 2^32 (packed position = hex16(doc_id)||
+    hex8(idx), lexicographic == numeric order).
+    """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast, hash_join
+
+    def _hex8(vals: np.ndarray) -> np.ndarray:
+        h16 = hashing.hex16_batch(vals.astype(np.uint64))
+        return h16.view("U1").reshape(-1, 16)[:, 8:].copy().view("U8").ravel()
+
+    def segment(t: pa.Table) -> pa.Table:
+        paras, n_parts = _segment_lists(t["text"], window, delim)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep_ids = np.repeat(doc_ids, n_parts)
+        starts = np.repeat(np.cumsum(n_parts) - n_parts, n_parts)
+        idx = np.arange(len(rep_ids), dtype=np.int64) - starts
+        packed = np.char.add(hashing.hex16_batch(rep_ids.astype(np.uint64)),
+                             _hex8(idx))
+        return pa.table({
+            "k": pa.array(_part_keys(paras), pa.string()),
+            "pos": pa.array(packed, pa.string()),
+        })
+
+    occ = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        segment, batch_format="pyarrow", batch_size=2048)
+    winners = bucketed_aggregate(
+        occ, keys=["k"], aggs={"pos": ("pos", "min")}, n_buckets=n_buckets)
+
+    def decode(t: pa.Table) -> pa.Table:
+        pos = t["pos"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array([int(p[:16], 16) for p in pos], pa.int64()),
+            "idx": pa.array([int(p[16:], 16) for p in pos], pa.int64()),
+        })
+
+    kept = winners.map_batches(decode, batch_format="pyarrow")
+    kept_lists = bucketed_aggregate(
+        kept, keys=["doc_id"], aggs={"kept": ("idx", "set")},
+        n_buckets=n_buckets).materialize()
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    joiner = " " if delim is None else delim
+
+    def rebuild(t: pa.Table, kept_rows: list) -> pa.Table:
+        # kept_rows: per-row iterable of kept part indices (sorted ascending)
+        paras, n_parts = _segment_lists(t["text"], window, delim)
+        plist = paras.to_pylist()
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.cumsum(n_parts) - n_parts
+        texts, n_kept = [], []
+        for i in range(len(doc_ids)):
+            ks = kept_rows[i]
+            n_kept.append(len(ks))
+            s = int(starts[i])
+            texts.append(joiner.join(plist[s + j] for j in ks))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text_clean": pa.array(texts, pa.string()),
+            "n_parts": pa.array(n_parts, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+        })
+
+    if kept_lists.count() <= broadcast_max:
+        ref = _ray.put(kept_lists.to_pandas())
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = cached_broadcast(
+                ref, lambda df: dict(zip(df["doc_id"], df["kept"])))
+            rows = [m.get(int(d), ())
+                    for d in t["doc_id"].to_numpy(zero_copy_only=False)]
+            return rebuild(t, rows)
+
+        return docs.map_batches(attach, batch_format="pyarrow")
+
+    # Acero (Ray's hash-join backend) rejects list-typed payload columns:
+    # csv-encode the kept indices through the join, decode map-side after.
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "kept_csv": pa.array([",".join(map(str, k))
+                                  for k in t["kept"].to_pylist()], pa.string()),
+        })
+
+    joined = hash_join(docs, kept_lists.map_batches(enc, batch_format="pyarrow"),
+                       "left_outer", 8, on=("doc_id",))
+
+    def rebuild_joined(t: pa.Table) -> pa.Table:
+        rows = [tuple(int(x) for x in k.split(",")) if k else ()
+                for k in t["kept_csv"].to_pylist()]
+        return rebuild(t.select(["doc_id", "text"]), rows)
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")

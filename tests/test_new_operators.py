@@ -652,3 +652,56 @@ def test_repetition_scores_planted(tmp_path):
     assert out.loc[5, "dup_token_frac"] == pytest.approx(0.6)
     assert out.loc[5, "top_token_frac"] == pytest.approx(0.6)
     assert out.loc[5, "top_bigram_frac"] == pytest.approx(0.5)
+
+
+def test_paragraph_dedup_delimiter_mode(tmp_path):
+    """Planted newline corpus: the shared boilerplate line survives only in
+    its globally-first position (doc 1, line 0); intra-doc repeats drop too;
+    the broadcast and hash-join delivery paths agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.dedup import paragraph_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "license header\nalpha body one\nalpha body one",   # intra-dup
+            "license header\nbeta body two",                    # cross-dup
+            "gamma solo",
+        ]),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = paragraph_dedup(str(d), window=None, delim="\n") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text_clean"].tolist() == [
+        "license header\nalpha body one", "beta body two", "gamma solo"]
+    assert out["n_parts"].tolist() == [3, 2, 1]
+    assert out["n_kept"].tolist() == [2, 1, 1]
+
+    via_join = paragraph_dedup(str(d), window=None, delim="\n",
+                               broadcast_max=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, via_join[out.columns.tolist()],
+                                  check_dtype=False)
+
+
+def test_paragraph_dedup_window_roundtrip():
+    """A corpus with no duplicated window reassembles to the original text
+    (kept == parts, text_clean == text)."""
+    from biomedical_entity_linking_ray.pipelines.dedup import paragraph_dedup
+
+    out = paragraph_dedup(SF_DIR, window=1_000_000).to_pandas()
+    import pyarrow.parquet as pq
+
+    orig = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    m = out.merge(orig, on="doc_id")
+    # window >= doc length -> one part per doc == whole-document exact dedup;
+    # only true full-text duplicates lose their text
+    dup_mask = m["n_kept"] == 0
+    assert (m.loc[~dup_mask, "text_clean"] == m.loc[~dup_mask, "text"]).all()
+    assert (m["n_parts"] == 1).all()
