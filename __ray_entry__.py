@@ -313,6 +313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (16-word parts) stands in for '\n' paragraphs; the SQL oracle
         # replicates the same segmentation + global first-wins rule
         "paragraph_dedup": dedup.paragraph_dedup,
+        # Lee et al. 2022 ExactSubstr analog at word 8-gram resolution:
+        # every word covered by a non-first occurrence of a duplicated
+        # 8-gram is removed; the first occurrence always survives
+        "substring_dedup": dedup.substring_dedup,
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
         # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
@@ -383,6 +387,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_synth_assignments": linkage_synth_assignments,
         "linkage_exact_docs": linkage_exact_docs,
     }
+
+
+def _substring_dedup_sql(n: int) -> str:
+    """Word n-gram ExactSubstr dedup replicated in SQL: grams via a lead()
+    chain, global first-wins via row_number over the gram string, coverage
+    expansion via a BETWEEN range join, rebuild via ordered string_agg."""
+    leads = " || ' ' || ".join(f"lead(w, {j}) OVER w1" for j in range(1, n))
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS wi
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, wi, w || ' ' || {leads} AS g,
+                   lead(w, {n - 1}) OVER w1 IS NOT NULL AS valid
+            FROM words WINDOW w1 AS (PARTITION BY doc_id ORDER BY wi)
+        ), ranked AS (
+            SELECT doc_id, wi,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, wi) AS rn
+            FROM grams WHERE valid
+        ), covered AS (
+            SELECT DISTINCT w.doc_id, w.wi
+            FROM words w JOIN (SELECT doc_id, wi FROM ranked WHERE rn > 1) d
+              ON w.doc_id = d.doc_id AND w.wi BETWEEN d.wi AND d.wi + {n - 1}
+        ), stats AS (
+            SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               COALESCE(k.text_clean, '') AS text_clean,
+               s.n_words,
+               s.n_words - COALESCE(k.n_kept, 0) AS n_removed
+        FROM stats s LEFT JOIN (
+            SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.wi) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM words w LEFT JOIN covered c
+              ON w.doc_id = c.doc_id AND w.wi = c.wi
+            WHERE c.wi IS NULL GROUP BY w.doc_id) k USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -481,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_kept
             FROM ranked WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
     """
+    out["substring_dedup"] = _substring_dedup_sql(8)
     out["knn_bruteforce"] = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe

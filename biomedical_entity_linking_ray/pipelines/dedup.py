@@ -920,3 +920,190 @@ def paragraph_dedup(
         return rebuild(t.select(["doc_id", "text"]), rows)
 
     return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup at word n-gram resolution (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def _gram_occurrences(t: pa.Table, n: int):
+    """Vectorized word n-gram enumeration over a batch of documents.
+
+    Returns (doc_ids_rep, i_idx, grams): for every valid in-doc position i
+    (i + n <= word count), the n-gram string words[i:i+n] joined by ' '.
+    Grams are built from n shifted zero-copy slices of the batch-flattened
+    word array via one element-wise Arrow join; cross-document windows are
+    masked out with offset arithmetic -- no per-row Python."""
+    import pyarrow.compute as pc
+
+    texts = t["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(texts, " ")
+    flat = words.flatten()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offs)
+    T = len(flat)
+    m = T - n + 1
+    if m <= 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                pa.array([], pa.string()))
+    parts = [flat.slice(j, m) for j in range(n)]
+    grams_all = pc.binary_join_element_wise(*parts, " ")
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offs[:-1]
+    pos = np.arange(m, dtype=np.int64)
+    doc_of = np.searchsorted(starts, pos, side="right") - 1
+    i_idx = pos - starts[doc_of]
+    valid = i_idx + n <= counts[doc_of]
+    keep = np.flatnonzero(valid)
+    return (doc_ids[doc_of[keep]], i_idx[keep],
+            grams_all.take(pa.array(keep, pa.int64())))
+
+
+def substring_dedup(
+    sf_dir: str,
+    n: int = 8,
+    n_buckets: int = 64,
+    broadcast_max: int = 500_000,
+) -> "ray.data.Dataset":
+    """Exact substring dedup at word n-gram resolution: remove every word
+    covered by a NON-FIRST occurrence of a duplicated n-gram, rebuild
+    documents -> (doc_id, text_clean, n_words, n_removed).
+
+    The distributed analog of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") suffix-array ExactSubstr dedup, at fixed
+    n-gram resolution: any repeated run of >= n words is removed from all
+    occurrences except the globally first under (doc_id, position). The
+    first occurrence keeps its words, so one copy of every duplicated span
+    always survives.
+
+    Scale shape: pass 1 ships only skinny (128-bit gram key, packed
+    position) rows into ONE bucketed count+min aggregation; only keys with
+    >1 occurrence survive (the duplicated-gram table, typically a small
+    fraction of the corpus), delivered back via bounded broadcast -- pass 2
+    re-derives grams map-side and rebuilds, so gram text never enters a
+    shuffle. Past the bound, an exact hash-join path folds covered word
+    positions to one csv row per affected doc. doc_id must be a
+    non-negative int64 (packed position = hex16(doc_id)||hex8(i)).
+    """
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast, hash_join
+
+    def _packed(doc_ids: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        h16 = hashing.hex16_batch(doc_ids.astype(np.uint64))
+        h8 = hashing.hex16_batch(idx.astype(np.uint64)) \
+            .view("U1").reshape(-1, 16)[:, 8:].copy().view("U8").ravel()
+        return np.char.add(h16, h8)
+
+    def gram_occ(t: pa.Table) -> pa.Table:
+        doc_rep, i_idx, grams = _gram_occurrences(t, n)
+        return pa.table({
+            "k": pa.array(_part_keys(grams), pa.string()),
+            "pos": pa.array(_packed(doc_rep, i_idx), pa.string()),
+        })
+
+    occ = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gram_occ, batch_format="pyarrow", batch_size=2048)
+    per_key = bucketed_aggregate(
+        occ, keys=["k"], aggs={"n_occ": ("pos", "count"), "first": ("pos", "min")},
+        n_buckets=n_buckets)
+    dup_keys = per_key.filter(expr="n_occ > 1").select_columns(["k", "first"]) \
+        .materialize()
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def rebuild(t: pa.Table, covered_rows: list) -> pa.Table:
+        # covered_rows: per-row set/list of covered word indices
+        import pyarrow.compute as pc
+
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
+        wl = words.to_pylist()
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts_out, n_words, n_removed = [], [], []
+        for i in range(len(doc_ids)):
+            cov = covered_rows[i]
+            ws = wl[i]
+            n_words.append(len(ws))
+            n_removed.append(len(cov))
+            texts_out.append(" ".join(
+                w for j, w in enumerate(ws) if j not in cov))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text_clean": pa.array(texts_out, pa.string()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    if dup_keys.count() <= broadcast_max:
+        ref = _ray.put(dup_keys.to_pandas())
+
+        def scrub(t: pa.Table) -> pa.Table:
+            first_of = cached_broadcast(
+                ref, lambda df: dict(zip(df["k"], df["first"])))
+            doc_rep, i_idx, grams = _gram_occurrences(t, n)
+            keys = _part_keys(grams)
+            packed = _packed(doc_rep, i_idx)
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            row_of = {int(d): r for r, d in enumerate(doc_ids)}
+            covered = [set() for _ in range(len(doc_ids))]
+            for g in range(len(keys)):
+                f = first_of.get(keys[g])
+                if f is not None and packed[g] != f:
+                    covered[row_of[int(doc_rep[g])]].update(
+                        range(int(i_idx[g]), int(i_idx[g]) + n))
+            return rebuild(t, covered)
+
+        return docs.map_batches(scrub, batch_format="pyarrow")
+
+    # scale path: exact join of occurrences vs duplicated keys, expand to
+    # covered word positions, fold to one csv row per affected doc
+    def occ_wide(t: pa.Table) -> pa.Table:
+        doc_rep, i_idx, grams = _gram_occurrences(t, n)
+        return pa.table({
+            "k": pa.array(_part_keys(grams), pa.string()),
+            "pos": pa.array(_packed(doc_rep, i_idx), pa.string()),
+            "doc_id": pa.array(doc_rep, pa.int64()),
+            "i": pa.array(i_idx, pa.int64()),
+        })
+
+    occ2 = docs.map_batches(occ_wide, batch_format="pyarrow", batch_size=2048)
+
+    def drop_first(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.not_equal(t["pos"], t["first"]))
+
+    hits = hash_join(occ2, dup_keys, "inner", 8, on=("k",)) \
+        .map_batches(drop_first, batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        base = np.repeat(t["i"].to_numpy(zero_copy_only=False), n)
+        off = np.tile(np.arange(n, dtype=np.int64), t.num_rows)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "j": pa.array(base + off, pa.int64())})
+
+    cov_lists = bucketed_aggregate(
+        hits.map_batches(expand, batch_format="pyarrow"),
+        keys=["doc_id"], aggs={"cov": ("j", "set")}, n_buckets=n_buckets)
+
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "cov_csv": pa.array([",".join(map(str, c))
+                                 for c in t["cov"].to_pylist()], pa.string()),
+        })
+
+    joined = hash_join(docs, cov_lists.map_batches(enc, batch_format="pyarrow"),
+                       "left_outer", 8, on=("doc_id",))
+
+    def rebuild_joined(t: pa.Table) -> pa.Table:
+        rows = [set(int(x) for x in c.split(",")) if c else set()
+                for c in t["cov_csv"].to_pylist()]
+        return rebuild(t.select(["doc_id", "text"]), rows)
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")

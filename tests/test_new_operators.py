@@ -705,3 +705,39 @@ def test_paragraph_dedup_window_roundtrip():
     dup_mask = m["n_kept"] == 0
     assert (m.loc[~dup_mask, "text_clean"] == m.loc[~dup_mask, "text"]).all()
     assert (m["n_parts"] == 1).all()
+
+
+def test_substring_dedup_planted(tmp_path):
+    """A 10-word span copied verbatim into doc 2 is scrubbed there and only
+    there; a doc with no >=n-word repeat is untouched; broadcast and
+    hash-join delivery paths agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.dedup import substring_dedup
+
+    span = "q w e r t y u i o p"                     # 10 words
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"aa bb {span} cc dd",
+            f"xx yy {span} zz",
+            "one two three four five six seven eight nine",
+        ]),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = substring_dedup(str(d), n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "text_clean"] == f"aa bb {span} cc dd"   # first wins
+    assert out.loc[0, "n_removed"] == 0
+    assert out.loc[1, "text_clean"] == "xx yy zz"
+    assert out.loc[1, "n_removed"] == 10
+    assert out.loc[2, "n_removed"] == 0
+
+    via_join = substring_dedup(str(d), n=8, broadcast_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, via_join[out.columns.tolist()],
+                                  check_dtype=False)
