@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "token_counts",
     "exact_dedup",
     "minhash_near_dup",
+    # sub-document dedup family (round 3): ExactSubstr at word 8-grams
+    "substring_dedup",
     "knn_bruteforce",
     # temporal-join family (round 3): banded range self-join over events
     "events_nearby",

@@ -978,14 +978,16 @@ def substring_dedup(
     first occurrence keeps its words, so one copy of every duplicated span
     always survives.
 
-    Scale shape: pass 1 ships only skinny (128-bit gram key, packed
-    position) rows into ONE bucketed count+min aggregation; only keys with
-    >1 occurrence survive (the duplicated-gram table, typically a small
-    fraction of the corpus), delivered back via bounded broadcast -- pass 2
-    re-derives grams map-side and rebuilds, so gram text never enters a
-    shuffle. Past the bound, an exact hash-join path folds covered word
-    positions to one csv row per affected doc. doc_id must be a
-    non-negative int64 (packed position = hex16(doc_id)||hex8(i)).
+    Scale shape: grams and their keys are computed exactly ONCE into a
+    materialized skinny occurrence table (128-bit gram key, packed position,
+    doc_id, i) that feeds both sides; the winner aggregation shuffles only
+    (k, pos) through ONE bucketed count+min; only keys with >1 occurrence
+    survive (the duplicated-gram table, typically a small fraction), probed
+    back against the occurrence table via a broadcast hash-map (pandas .map,
+    no re-hashing) while it fits, an exact hash join beyond; covered word
+    positions fold to one row per AFFECTED doc and reach the rebuild scan
+    bounded-broadcast-else-join. Gram text never enters a shuffle. doc_id
+    must be a non-negative int64 (packed position = hex16(doc_id)||hex8(i)).
     """
     import ray as _ray
 
@@ -1003,13 +1005,20 @@ def substring_dedup(
         return pa.table({
             "k": pa.array(_part_keys(grams), pa.string()),
             "pos": pa.array(_packed(doc_rep, i_idx), pa.string()),
+            "doc_id": pa.array(doc_rep, pa.int64()),
+            "i": pa.array(i_idx, pa.int64()),
         })
 
-    occ = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        gram_occ, batch_format="pyarrow", batch_size=2048)
+    # one gram pass, materialized and reused by BOTH the winner aggregation
+    # and the coverage pass -- grams and their sha keys are computed exactly
+    # once. batch_size=512 keeps the sha-bearing stage wide enough to fill
+    # the CPUs (2048 left a 5k-doc corpus running on 3 tasks).
+    occw = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gram_occ, batch_format="pyarrow", batch_size=512).materialize()
     per_key = bucketed_aggregate(
-        occ, keys=["k"], aggs={"n_occ": ("pos", "count"), "first": ("pos", "min")},
-        n_buckets=n_buckets)
+        occw.select_columns(["k", "pos"]),
+        aggs={"n_occ": ("pos", "count"), "first": ("pos", "min")},
+        keys=["k"], n_buckets=n_buckets)
     dup_keys = per_key.filter(expr="n_occ > 1").select_columns(["k", "first"]) \
         .materialize()
     docs = _read_docs(sf_dir, ["doc_id", "text"])
@@ -1039,57 +1048,57 @@ def substring_dedup(
             "n_removed": pa.array(n_removed, pa.int64()),
         })
 
-    if dup_keys.count() <= broadcast_max:
-        ref = _ray.put(dup_keys.to_pandas())
-
-        def scrub(t: pa.Table) -> pa.Table:
-            first_of = cached_broadcast(
-                ref, lambda df: dict(zip(df["k"], df["first"])))
-            doc_rep, i_idx, grams = _gram_occurrences(t, n)
-            keys = _part_keys(grams)
-            packed = _packed(doc_rep, i_idx)
-            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            row_of = {int(d): r for r, d in enumerate(doc_ids)}
-            covered = [set() for _ in range(len(doc_ids))]
-            for g in range(len(keys)):
-                f = first_of.get(keys[g])
-                if f is not None and packed[g] != f:
-                    covered[row_of[int(doc_rep[g])]].update(
-                        range(int(i_idx[g]), int(i_idx[g]) + n))
-            return rebuild(t, covered)
-
-        return docs.map_batches(scrub, batch_format="pyarrow")
-
-    # scale path: exact join of occurrences vs duplicated keys, expand to
-    # covered word positions, fold to one csv row per affected doc
-    def occ_wide(t: pa.Table) -> pa.Table:
-        doc_rep, i_idx, grams = _gram_occurrences(t, n)
-        return pa.table({
-            "k": pa.array(_part_keys(grams), pa.string()),
-            "pos": pa.array(_packed(doc_rep, i_idx), pa.string()),
-            "doc_id": pa.array(doc_rep, pa.int64()),
-            "i": pa.array(i_idx, pa.int64()),
-        })
-
-    occ2 = docs.map_batches(occ_wide, batch_format="pyarrow", batch_size=2048)
-
-    def drop_first(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.not_equal(t["pos"], t["first"]))
-
-    hits = hash_join(occ2, dup_keys, "inner", 8, on=("k",)) \
-        .map_batches(drop_first, batch_format="pyarrow")
-
     def expand(t: pa.Table) -> pa.Table:
+        # (doc_id, gram start i) of a non-first dup occurrence -> the n
+        # covered word positions, vectorized
         d = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
         base = np.repeat(t["i"].to_numpy(zero_copy_only=False), n)
         off = np.tile(np.arange(n, dtype=np.int64), t.num_rows)
         return pa.table({"doc_id": pa.array(d, pa.int64()),
                          "j": pa.array(base + off, pa.int64())})
 
+    if dup_keys.count() <= broadcast_max:
+        # coverage pass over the MATERIALIZED occurrence table: one hash-map
+        # probe per gram via pandas .map (C speed), no re-hashing
+        ref = _ray.put(dup_keys.to_pandas())
+
+        def mark(t: pa.Table) -> pa.Table:
+            first_of = cached_broadcast(
+                ref, lambda df: dict(zip(df["k"], df["first"])))
+            s = t["k"].to_pandas().map(first_of)
+            mask = (s.notna()
+                    & (s.to_numpy() != t["pos"].to_pandas().to_numpy()))
+            m = mask.to_numpy()
+            return expand(t.select(["doc_id", "i"]).filter(pa.array(m)))
+
+        cov = occw.map_batches(mark, batch_format="pyarrow")
+    else:
+        # scale path: exact join of occurrences vs duplicated keys
+        def drop_first(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.not_equal(t["pos"], t["first"]))
+
+        cov = hash_join(occw, dup_keys, "inner", 8, on=("k",)) \
+            .map_batches(drop_first, batch_format="pyarrow") \
+            .map_batches(expand, batch_format="pyarrow")
+
+    # fold covered positions to one row per AFFECTED doc (typically a small
+    # fraction), deliver to the rebuild scan bounded-broadcast-else-join
     cov_lists = bucketed_aggregate(
-        hits.map_batches(expand, batch_format="pyarrow"),
-        keys=["doc_id"], aggs={"cov": ("j", "set")}, n_buckets=n_buckets)
+        cov, keys=["doc_id"], aggs={"cov": ("j", "set")},
+        n_buckets=n_buckets).materialize()
+
+    if cov_lists.count() <= broadcast_max:
+        cref = _ray.put(cov_lists.to_pandas())
+
+        def scrub(t: pa.Table) -> pa.Table:
+            m = cached_broadcast(
+                cref, lambda df: dict(zip(df["doc_id"], df["cov"])))
+            rows = [m.get(int(d), ())
+                    for d in t["doc_id"].to_numpy(zero_copy_only=False)]
+            return rebuild(t, [set(r) for r in rows])
+
+        return docs.map_batches(scrub, batch_format="pyarrow")
 
     def enc(t: pa.Table) -> pa.Table:
         return pa.table({
