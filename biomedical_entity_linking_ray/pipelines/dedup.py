@@ -1116,3 +1116,65 @@ def substring_dedup(
         return rebuild(t.select(["doc_id", "text"]), rows)
 
     return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fuzzy dedup: MinHash pairs -> connected components -> canonical
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_assignments(
+    sf_dir: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 4,
+    jaccard_threshold: float = 0.6,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Fuzzy dedup, the full product: (doc_id, canonical_id) where canonical
+    is the MINIMUM doc_id of the document's near-duplicate cluster (the
+    transitive closure of MinHash+LSH pairs above `jaccard_threshold`);
+    singletons map to themselves.
+
+    The near-dup analog of `exact_dedup` and the shape every keep-one-per-
+    cluster training-data dedup pipeline ends in (SlimPajama / BigCode
+    pipelines; reference analog: cluster -> canonical prediction,
+    eval_cluster_linking.py:186-219). Composes the oracle-green
+    `minhash_near_dup_pairs` cascade with the flagship's distributed
+    connected-components stage (driver union-find under the residual bound,
+    Pregel partition actors beyond), so it inherits both scale stories; ids
+    ride the CC stage as hex16 strings (lexicographic == numeric order, so
+    the stage's min-label canonical IS the numeric min doc_id)."""
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.stages.clustering import connected_components
+
+    pairs = minhash_near_dup_pairs(
+        sf_dir, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold, seed=seed)
+
+    def enc_pair(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "id_a": pa.array(hashing.hex16_batch(a), pa.string()),
+            "id_b": pa.array(hashing.hex16_batch(b), pa.string()),
+        })
+
+    def enc_node(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "file_id": pa.array(hashing.hex16_batch(d), pa.string())})
+
+    edges = pairs.map_batches(enc_pair, batch_format="pyarrow")
+    nodes = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        enc_node, batch_format="pyarrow")
+    cc = connected_components(edges, nodes, LinkageConfig())
+
+    def dec(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(
+                [int(x, 16) for x in t["file_id"].to_pylist()], pa.int64()),
+            "canonical_id": pa.array(
+                [int(x, 16) for x in t["canonical_id"].to_pylist()], pa.int64()),
+        })
+
+    return cc.map_batches(dec, batch_format="pyarrow")

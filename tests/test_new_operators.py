@@ -741,3 +741,25 @@ def test_substring_dedup_planted(tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, via_join[out.columns.tolist()],
                                   check_dtype=False)
+
+
+def test_minhash_dedup_keep_one_per_cluster():
+    """Fuzzy-dedup assignments: canonical ids are closed under the pair
+    graph (both endpoints of every near-dup pair share a canonical), every
+    canonical is the min of its cluster, and exact duplicates (subset of
+    near-dups at jaccard 1.0) collapse at least as far as exact_dedup."""
+    from biomedical_entity_linking_ray.pipelines.dedup import (
+        exact_dedup, minhash_dedup_assignments, minhash_near_dup_pairs,
+    )
+
+    assign = minhash_dedup_assignments(SF_DIR).to_pandas()
+    canon_of = dict(zip(assign.doc_id, assign.canonical_id))
+    pairs = minhash_near_dup_pairs(SF_DIR).to_pandas()
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        assert canon_of[a] == canon_of[b]
+    grp = assign.groupby("canonical_id")["doc_id"].min()
+    assert (grp.index == grp.values).all()
+    ex = exact_dedup(SF_DIR).to_pandas()
+    ex_canon = dict(zip(ex.doc_id, ex.canonical_id))
+    for d, c in ex_canon.items():
+        assert canon_of[d] == canon_of[c]
