@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,
         "quality_scores": text_analysis.quality_scores,
+        # per-language quantile quality gate (keep docs at/above the
+        # language's 0.8 quantile of quality_q4)
+        "quality_filtered": text_analysis.quality_filtered,
         # Gopher-style intra-doc repetition quality signals
         "repetition_scores": text_analysis.repetition_scores,
         "language_id": text_analysis.language_id,
@@ -588,6 +591,38 @@ def oracle_sql() -> dict[str, str]:
                    + least(n_stopwords / greatest(n_tokens, 1) * 4, 1.0) * 0.2
                ) * 10000 + 0.5) AS BIGINT) AS quality_q4
         FROM c
+    """
+    # per-language quantile gate over the SAME quality_q4 expression;
+    # quantile_disc matches the engine's counting-method pick (element
+    # ceil(q*n)-1 of the sorted multiset)
+    out["quality_filtered"] = """
+        WITH c AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS n_tokens,
+                   len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                       x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+                       AS n_stopwords,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r]')) AS n_punct,
+                   len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')))
+                       AS n_unique_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   CAST(FLOOR((
+                       least(n_tokens / 32.0, 1.0) * 0.3
+                       + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2
+                       + (n_unique_tokens / greatest(n_tokens, 1)) * 0.3
+                       + least(n_stopwords / greatest(n_tokens, 1) * 4, 1.0) * 0.2
+                   ) * 10000 + 0.5) AS BIGINT) AS quality_q4
+            FROM c
+        ), thr AS (
+            SELECT lang, quantile_disc(quality_q4, 0.8) AS t
+            FROM s GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.quality_q4
+        FROM s JOIN thr USING (lang)
+        WHERE s.quality_q4 >= thr.t
     """
     out["language_id"] = """
         WITH t AS (

@@ -449,3 +449,74 @@ def scrub_patterns(
         PatternScrubber,
         fn_constructor_kwargs={"patterns": patterns},
         concurrency=concurrency, batch_size=2048, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-language quality gate (quantile-thresholded filtering)
+# ---------------------------------------------------------------------------
+
+_QS_CACHE: list = []
+
+
+def quality_filtered(sf_dir: str, q: float = 0.8) -> "ray.data.Dataset":
+    """Keep documents whose quality score is at or above their LANGUAGE's
+    q-quantile -> (doc_id, lang, quality_q4). The Gopher/FineWeb-style
+    quality gate, with the cut set per group rather than globally so a
+    verbose language can't crowd out a terse one.
+
+    The threshold is the exact discrete quantile (DuckDB `quantile_disc`
+    semantics: element ceil(q*n)-1 of the sorted multiset), computed by the
+    counting method -- quality_q4 is an integer in [0, 10000], so the
+    threshold shuffle carries only (lang, value, count) triples regardless
+    of corpus size (same trick as analytics.quantity_quantiles). The scored
+    table is materialized once and reused by both the threshold aggregation
+    and the filter pass; the per-language threshold map (|langs| rows) rides
+    to the filter as a broadcast."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    def score_lang(t: pa.Table) -> pa.Table:
+        if not _QS_CACHE:
+            _QS_CACHE.append(QualityScorer())
+        out = _QS_CACHE[0](t)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "lang": t["lang"],
+            "quality_q4": out["quality_q4"],
+        })
+
+    scored = read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        score_lang, batch_format="pyarrow", batch_size=2048).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["lang", "quality_q4"], as_index=False) \
+            .agg(cnt=("quality_q4", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = scored.map_batches(partial, batch_format="pyarrow",
+                                batch_size=131072) \
+        .groupby(["lang", "quality_q4"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("quality_q4").reset_index(drop=True)
+        c = g["cnt"].to_numpy().cumsum()
+        n = int(c[-1])
+        idx = max(math.ceil(q * n) - 1, 0)
+        v = g.loc[np.searchsorted(c, idx + 1), "quality_q4"]
+        return pd.DataFrame({"lang": [g.loc[0, "lang"]], "thr": [int(v)]})
+
+    thr = counts.groupby("lang").map_groups(pick, batch_format="pandas") \
+        .to_pandas()
+    ref = _ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = cached_broadcast(ref, lambda df: dict(zip(df["lang"], df["thr"])))
+        th = t["lang"].to_pandas().map(m).to_numpy()
+        mask = t["quality_q4"].to_numpy(zero_copy_only=False) >= th
+        return t.filter(pa.array(mask))
+
+    return scored.map_batches(keep, batch_format="pyarrow")

@@ -53,7 +53,7 @@ def _assert_matches_oracle(name: str, con):
     "quantity_quantiles", "distinct_users_by_type", "distinct_users_hll",
     "parts_with_lineitems_bloom", "user_running_value", "top_bigrams",
     "value_quantiles_sampled", "events_stratified_sample",
-    "paragraph_dedup", "substring_dedup", "minhash_dedup",
+    "paragraph_dedup", "substring_dedup", "minhash_dedup", "quality_filtered",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
