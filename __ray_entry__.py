@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-language quantile quality gate (keep docs at/above the
         # language's 0.8 quantile of quality_q4)
         "quality_filtered": text_analysis.quality_filtered,
+        # deterministic global shuffle + shard/position assignment
+        "shuffle_shards": text_analysis.shuffle_shards,
         # Gopher-style intra-doc repetition quality signals
         "repetition_scores": text_analysis.repetition_scores,
         "language_id": text_analysis.language_id,
@@ -859,6 +861,15 @@ def oracle_sql() -> dict[str, str]:
     out["video_frame_index"] = """
         SELECT d.doc_id, f.frame_idx::BIGINT AS frame_idx
         FROM documents d CROSS JOIN (VALUES (0), (2), (4)) f(frame_idx)
+    """
+    # deterministic shuffle-shard assignment: the SAME splitmix64(doc_id^42)
+    # chain; shard = h % 16, pos = rank of (h, doc_id) within the shard
+    out["shuffle_shards"] = _sm64 + """
+        SELECT doc_id,
+               (hv % 16)::BIGINT AS shard,
+               row_number() OVER (PARTITION BY hv % 16
+                                  ORDER BY hv, doc_id) AS pos
+        FROM hv
     """
     # MinHash in SQL -- the ENTIRE default cascade replicated exactly:
     # SCOPE ASSUMPTION (shared by the ngram oracles below): the SQL shingles

@@ -520,3 +520,41 @@ def quality_filtered(sf_dir: str, q: float = 0.8) -> "ray.data.Dataset":
         return t.filter(pa.array(mask))
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + sharding (training output order)
+# ---------------------------------------------------------------------------
+
+def shuffle_shards(sf_dir: str, n_shards: int = 16,
+                   seed: int = 42) -> "ray.data.Dataset":
+    """Reproducible global shuffle for training output: (doc_id, shard, pos)
+    with shard = splitmix64(doc_id ^ seed) % n_shards and pos = the 1-based
+    rank of the hash within its shard (hash ties broken by doc_id, so the
+    order is total and engine-independent).
+
+    A seeded random permutation as a PURE FUNCTION of the row key -- unlike
+    `Dataset.random_shuffle`, the assignment is stable across reruns,
+    cluster sizes and partitionings, so a resumed job rebuilds byte-identical
+    shards. One grouped shuffle on the bounded shard id; each shard sorts
+    its (hash, doc_id) pairs vectorized -- payload columns would be attached
+    AFTER sharding, never carried through the sort."""
+    from biomedical_entity_linking_ray.functions import hashing
+
+    def add(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = hashing.splitmix64(ids ^ np.uint64(seed))
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            "h": pa.array(h, pa.uint64()),
+        })
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").reset_index(drop=True)
+        g["pos"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    return read_documents(sf_dir, ["doc_id"]).map_batches(
+        add, batch_format="pyarrow", batch_size=65536) \
+        .groupby("shard").map_groups(order, batch_format="pandas")
