@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the HLL estimator is deterministic given splitmix64, so the sketch
         # itself is oracled closed-form in SQL (analytics._hll_sql)
         "distinct_users_hll": analytics.distinct_users_hll,
+        # exact-size deterministic reservoir (bottom-k by keyed hash):
+        # the k sample ROWS per group, mergeable and rerun-stable
+        "events_sample_k": analytics.events_sample_k,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,

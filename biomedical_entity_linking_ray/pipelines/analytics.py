@@ -608,3 +608,63 @@ def _hll_sql(p: int = 12) -> str:
 
 SQL["distinct_users_hll"] = _hll_sql()
 SQL["value_quantiles_sampled"] = _sampled_quantiles_sql()
+
+
+def events_sample_k(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """Exact-size deterministic reservoir sample: the k events with the
+    smallest splitmix64(event_id) per event_type, as the rows themselves
+    -> (event_id, event_type, value).
+
+    Distributed reservoir sampling without RNG state: bottom-k by a keyed
+    hash is mergeable (union, keep k smallest) and a pure function of the
+    row keys, so the sample is identical across reruns, partitionings and
+    cluster sizes, and resumable jobs re-draw the same rows. Per-batch
+    partial bottom-k is the combiner -- the shuffle carries <= k rows per
+    (batch, group) regardless of corpus size; the same sketch underlies
+    `value_quantiles_sampled`, here emitting the sample instead of a
+    quantile estimate."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_pandas(),
+            "event_type": t["event_type"].to_pandas(),
+            "value": t["value"].to_numpy(),
+            "h": hashing.splitmix64(t["event_id"].to_numpy().astype(np.uint64)),
+        })
+        top = df.sort_values("h", kind="mergesort") \
+                .groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(k, "h")[["event_id", "event_type", "value"]]
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("event_type").map_groups(final, batch_format="pandas")
+
+
+def _sample_k_sql(k: int = 50) -> str:
+    """The bottom-k reservoir replicated in DuckDB: same splitmix64 chain,
+    rank by hash within group (event_id unique -> total order)."""
+    return f"""
+        WITH s1 AS (SELECT event_id, event_type, value,
+                           (event_id::HUGEINT + 11400714819323198485::HUGEINT)
+                               % {_M} AS x
+                    FROM events),
+        s2 AS (SELECT event_id, event_type, value,
+                      {_mulmod('xor(x, x // 1073741824::HUGEINT)', 0xBF58476D1CE4E5B9)} AS x
+               FROM s1),
+        s3 AS (SELECT event_id, event_type, value,
+                      {_mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x
+               FROM s2),
+        hv AS (SELECT event_id, event_type, value,
+                      xor(x, x // 2147483648::HUGEINT) AS h FROM s3),
+        ranked AS (SELECT event_id, event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn
+                   FROM hv)
+        SELECT event_id, event_type, value FROM ranked WHERE rn <= {k}
+    """
+
+
+SQL["events_sample_k"] = _sample_k_sql()
