@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             all_pairs_max=1_000_000, dtype="float64"),
         # --- similarity search over embeddings ---
         "knn_bruteforce": similarity.knn_bruteforce,
+        # metadata-filtered vector search (label < 5 pushed into the scan)
+        "knn_filtered": similarity.knn_filtered,
         "knn_lsh": similarity.knn_lsh,
         # exhaustive config: zero hyperplanes admit every candidate, so the
         # bucket/mask/merge plumbing returns the exact top-k and the
@@ -557,6 +559,26 @@ def oracle_sql() -> dict[str, str]:
     """
     out["knn_ivf_exhaustive"] = out["knn_bruteforce"]
     out["knn_lsh_exhaustive"] = out["knn_bruteforce"]
+    # metadata-filtered vector search: same exact kernel, corpus restricted
+    # to label < 5 (predicate pushed into the parquet scan on the Ray side)
+    out["knn_filtered"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id ASC LIMIT 16
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine
+            FROM q CROSS JOIN (SELECT * FROM embeddings WHERE label < 5) e
+        ),
+        r AS (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM s
+        )
+        SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+    """
     out["token_packing"] = """
         WITH c AS (
             SELECT doc_id,

@@ -53,13 +53,15 @@ def load_query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarr
 
 def knn_bruteforce(
     sf_dir: str, k: int = 5, n_queries: int = 16, exclude_self: bool = False,
+    corpus: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """(query_id, rank, vec_id, cosine): exact top-k by cosine per query.
 
     Query matrix broadcast via `ray.put` (read once per task, never per batch);
     per-batch matmul + local top-k; global merge via groupby(query_id).
     `exclude_self` drops the query's own vector before ranking (for neighbor
-    retrieval metrics).
+    retrieval metrics). `corpus` overrides the (vec_id, embedding) corpus scan
+    -- the filtered-search hook (`knn_filtered`).
     """
     qids, Q = load_query_matrix(sf_dir, n_queries)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -95,9 +97,8 @@ def knn_bruteforce(
             "cosine": pa.array(out_s, pa.float64()),
         })
 
-    partials = _read_embeddings(sf_dir).map_batches(
-        local_topk, batch_format="pyarrow", batch_size=4096
-    )
+    partials = (corpus if corpus is not None else _read_embeddings(sf_dir)) \
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -106,6 +107,29 @@ def knn_bruteforce(
         return g[["query_id", "rank", "vec_id", "cosine"]]
 
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def knn_filtered(
+    sf_dir: str, k: int = 5, n_queries: int = 16, max_label: int = 5,
+) -> "ray.data.Dataset":
+    """Metadata-filtered vector search (the vector-DB 'filtered ANN' product,
+    here with the exact kernel): top-k by cosine restricted to corpus vectors
+    with label < max_label.
+
+    The predicate rides INTO the Parquet scan as a pyarrow dataset expression
+    -- row groups whose label statistics miss the range never leave storage,
+    and non-matching rows are dropped before the embedding column reaches a
+    batch. Queries remain the unfiltered first-n vectors (external queries
+    searching a filtered corpus), so a query's own vector may legitimately be
+    excluded from its results."""
+    import pyarrow.compute as _pc
+
+    corpus = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(_pc.field("label") < max_label),
+    )
+    return knn_bruteforce(sf_dir, k=k, n_queries=n_queries, corpus=corpus)
 
 
 def knn_ivf(
