@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # min-id canonical per near-dup cluster (the keep-one-per-cluster
         # product); the SQL oracle closes the pair graph with a recursive CTE
         "minhash_dedup": dedup.minhash_dedup_assignments,
+        "simhash_dedup": dedup.simhash_dedup_assignments,
         # Lee et al. 2022 ExactSubstr analog at word 8-gram resolution:
         # every word covered by a non-first occurrence of a duplicated
         # 8-gram is removed; the first occurrence always survives
@@ -996,29 +997,33 @@ def oracle_sql() -> dict[str, str]:
     FROM cand
     WHERE (len(list_filter(range(1, 129), i -> sa[i] = sb[i])))::DOUBLE / 128.0 >= 0.6
     """
-    # fuzzy dedup assignments: transitive closure of the (already oracled)
-    # minhash pair graph via a recursive CTE, canonical = component min;
+    # fuzzy dedup assignments: transitive closure of an (already oracled)
+    # near-dup pair graph via a recursive CTE, canonical = component min;
     # docs in no pair map to themselves through the LEFT JOIN
-    out["minhash_dedup"] = f"""
-    WITH RECURSIVE pairs AS (
-        SELECT id_a, id_b FROM ({out["minhash_near_dup"]}) q
-    ),
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION ALL
-        SELECT id_b AS a, id_a AS b FROM pairs
-    ),
-    comp(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT c.a, e.b FROM comp c JOIN edges e ON c.b = e.a
-    )
-    SELECT d.doc_id,
-           CAST(LEAST(d.doc_id, COALESCE(MIN(c.b), d.doc_id)) AS BIGINT)
-               AS canonical_id
-    FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
-    GROUP BY d.doc_id
-    """
+    def _closure_sql(pairs_sql: str) -> str:
+        return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({pairs_sql}) q
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        comp(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT c.a, e.b FROM comp c JOIN edges e ON c.b = e.a
+        )
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(c.b), d.doc_id)) AS BIGINT)
+                   AS canonical_id
+        FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
+        GROUP BY d.doc_id
+        """
+
+    out["minhash_dedup"] = _closure_sql(out["minhash_near_dup"])
+    out["simhash_dedup"] = _closure_sql(out["simhash_near_dup"])
     # ngram_jaccard (LSH variant): candidates = the SAME minhash banding at
     # threshold 0 (every pair sharing a band), verified with the EXACT
     # token-3-gram Jaccard of ngram_jaccard_exact -- both halves reuse the

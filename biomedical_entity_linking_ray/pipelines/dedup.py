@@ -1144,12 +1144,31 @@ def minhash_dedup_assignments(
     Pregel partition actors beyond), so it inherits both scale stories; ids
     ride the CC stage as hex16 strings (lexicographic == numeric order, so
     the stage's min-label canonical IS the numeric min doc_id)."""
-    from biomedical_entity_linking_ray.config import LinkageConfig
-    from biomedical_entity_linking_ray.stages.clustering import connected_components
-
     pairs = minhash_near_dup_pairs(
         sf_dir, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         jaccard_threshold=jaccard_threshold, seed=seed)
+    return pairs_to_assignments(pairs, sf_dir)
+
+
+def simhash_dedup_assignments(
+    sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
+) -> "ray.data.Dataset":
+    """SimHash twin of `minhash_dedup_assignments`: transitive closure of
+    the (already oracled whp) SimHash pair graph -> (doc_id, canonical_id),
+    canonical = component minimum, singletons self-mapped."""
+    pairs = simhash_near_dup_pairs(
+        sf_dir, max_hamming=max_hamming, prefix_bits=prefix_bits)
+    return pairs_to_assignments(pairs, sf_dir)
+
+
+def pairs_to_assignments(
+    pairs: "ray.data.Dataset", sf_dir: str,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, ...) near-dup pair graph -> (doc_id, canonical_id) via
+    the flagship's distributed connected-components stage; canonical = the
+    numeric minimum doc_id of the component (ids ride CC as hex16 strings)."""
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.stages.clustering import connected_components
 
     def enc_pair(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -54,7 +54,7 @@ def _assert_matches_oracle(name: str, con):
     "parts_with_lineitems_bloom", "user_running_value", "top_bigrams",
     "value_quantiles_sampled", "events_stratified_sample",
     "paragraph_dedup", "substring_dedup", "minhash_dedup", "quality_filtered",
-    "shuffle_shards", "events_sample_k", "knn_filtered",
+    "shuffle_shards", "events_sample_k", "knn_filtered", "simhash_dedup",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
