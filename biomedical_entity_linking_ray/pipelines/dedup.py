@@ -966,6 +966,7 @@ def substring_dedup(
     n: int = 8,
     n_buckets: int = 64,
     broadcast_max: int = 500_000,
+    spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Exact substring dedup at word n-gram resolution: remove every word
     covered by a NON-FIRST occurrence of a duplicated n-gram, rebuild
@@ -1012,9 +1013,17 @@ def substring_dedup(
     # one gram pass, materialized and reused by BOTH the winner aggregation
     # and the coverage pass -- grams and their sha keys are computed exactly
     # once. batch_size=512 keeps the sha-bearing stage wide enough to fill
-    # the CPUs (2048 left a 5k-doc corpus running on 3 tasks).
+    # the CPUs (2048 left a 5k-doc corpus running on 3 tasks). The pinned
+    # occurrence table scales with total gram count: in the object store by
+    # default (spills under pressure), or as Parquet via `spill_dir` (the
+    # 10^12-doc path, same contract as minhash_near_dup_pairs).
     occw = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        gram_occ, batch_format="pyarrow", batch_size=512).materialize()
+        gram_occ, batch_format="pyarrow", batch_size=512)
+    if spill_dir is not None:
+        occw.write_parquet(spill_dir)
+        occw = ray.data.read_parquet(spill_dir)
+    else:
+        occw = occw.materialize()
     per_key = bucketed_aggregate(
         occw.select_columns(["k", "pos"]),
         aggs={"n_occ": ("pos", "count"), "first": ("pos", "min")},

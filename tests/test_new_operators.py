@@ -763,3 +763,15 @@ def test_minhash_dedup_keep_one_per_cluster():
     ex_canon = dict(zip(ex.doc_id, ex.canonical_id))
     for d, c in ex_canon.items():
         assert canon_of[d] == canon_of[c]
+
+
+def test_substring_dedup_spill_dir(tmp_path):
+    """The Parquet spill path for the occurrence table returns the same
+    result as the object-store default."""
+    from biomedical_entity_linking_ray.pipelines.dedup import substring_dedup
+
+    a = substring_dedup(SF_DIR, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = substring_dedup(SF_DIR, n=8, spill_dir=str(tmp_path / "occ")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()], check_dtype=False)
