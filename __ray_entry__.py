@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product); the SQL oracle closes the pair graph with a recursive CTE
         "minhash_dedup": dedup.minhash_dedup_assignments,
         "simhash_dedup": dedup.simhash_dedup_assignments,
+        # graph analytics over the near-dup graph: per-node triangle counts
+        # (clique-vs-chain diagnostic for the dedup threshold)
+        "near_dup_triangles": dedup.near_dup_triangles,
         # Lee et al. 2022 ExactSubstr analog at word 8-gram resolution:
         # every word covered by a non-first occurrence of a duplicated
         # 8-gram is removed; the first occurrence always survives
@@ -1024,6 +1027,26 @@ def oracle_sql() -> dict[str, str]:
 
     out["minhash_dedup"] = _closure_sql(out["minhash_near_dup"])
     out["simhash_dedup"] = _closure_sql(out["simhash_near_dup"])
+    # per-node triangle counts over the same oracled simhash pair graph:
+    # id-ordered orientation, each triangle {u<v<w} found once at u
+    out["near_dup_triangles"] = f"""
+    WITH e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM ({out["simhash_near_dup"]}) q
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY doc_id
+    """
     # ngram_jaccard (LSH variant): candidates = the SAME minhash banding at
     # threshold 0 (every pair sharing a band), verified with the EXACT
     # token-3-gram Jaccard of ngram_jaccard_exact -- both halves reuse the

@@ -1206,3 +1206,71 @@ def pairs_to_assignments(
         })
 
     return cc.map_batches(dec, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup graph analytics: per-node triangle counting
+# ---------------------------------------------------------------------------
+
+def near_dup_triangles(
+    sf_dir: str, n_buckets: int = 64, join_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Per-node triangle counts over the SimHash near-dup graph:
+    (doc_id, n_triangles) for every document in at least one triangle.
+
+    Triangle density separates true duplicate CLIQUES (template families,
+    vendored trees -- every pair agrees) from chain artifacts of transitive
+    closure (A~B~C where A!~C), so it is the standard diagnostic for how
+    aggressive a fuzzy-dedup threshold is. Classic distributed algorithm on
+    the id-ordered orientation: edges (u<v) -> per-node higher-neighbor
+    adjacency (ONE bucketed set-agg) -> wedge explode at the lowest vertex
+    (vectorized; O(d^2) per node on the PRUNED near-dup graph, orders of
+    magnitude smaller than the corpus) -> ONE hash join of wedges against
+    edges -> per-node count fold. Every triangle {u<v<w} is found exactly
+    once, at u."""
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import hash_join
+
+    pairs = simhash_near_dup_pairs(sf_dir)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                         "v": pa.array(np.maximum(a, b), pa.int64())})
+
+    edges = pairs.map_batches(orient, batch_format="pyarrow").materialize()
+    hi = bucketed_aggregate(edges, keys=["u"], aggs={"nbrs": ("v", "set")},
+                            n_buckets=n_buckets)
+
+    def wedges(t: pa.Table) -> pa.Table:
+        us = t["u"].to_numpy(zero_copy_only=False)
+        out_u, out_v, out_w = [], [], []
+        for i, ns in enumerate(t["nbrs"].to_pylist()):
+            if len(ns) < 2:
+                continue
+            a = np.asarray(ns, dtype=np.int64)  # 'set' agg: sorted ascending
+            iu, iw = np.triu_indices(len(a), k=1)
+            out_u.append(np.full(len(iu), us[i], dtype=np.int64))
+            out_v.append(a[iu])
+            out_w.append(a[iw])
+        if not out_u:
+            return pa.table({"wu": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({"wu": pa.array(np.concatenate(out_u)),
+                         "v": pa.array(np.concatenate(out_v)),
+                         "w": pa.array(np.concatenate(out_w))})
+
+    wedge_ds = hi.map_batches(wedges, batch_format="pyarrow")
+    tri = hash_join(wedge_ds, edges, "inner", join_partitions,
+                    on=("v", "w"), right_on=("u", "v"))
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        cols = [t[c].to_numpy(zero_copy_only=False) for c in ("wu", "v", "w")]
+        return pa.table({"doc_id": pa.array(np.concatenate(cols), pa.int64())})
+
+    return bucketed_aggregate(
+        tri.map_batches(explode_nodes, batch_format="pyarrow"),
+        keys=["doc_id"], aggs={"n_triangles": ("doc_id", "count")},
+        n_buckets=n_buckets)
