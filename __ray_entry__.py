@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-language quantile quality gate (keep docs at/above the
         # language's 0.8 quantile of quality_q4)
         "quality_filtered": text_analysis.quality_filtered,
+        # per-language percent-rank score calibration (ties share min rank)
+        "quality_percentiles": text_analysis.quality_percentiles,
         # deterministic global shuffle + shard/position assignment
         "shuffle_shards": text_analysis.shuffle_shards,
         # Gopher-style intra-doc repetition quality signals
@@ -654,6 +656,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.doc_id, s.lang, s.quality_q4
         FROM s JOIN thr USING (lang)
         WHERE s.quality_q4 >= thr.t
+    """
+    # per-language PERCENT_RANK over the same quality_q4 expression, same
+    # floor-quantization contract as quality_q4 itself
+    out["quality_percentiles"] = """
+        WITH c AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS n_tokens,
+                   len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                       x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+                       AS n_stopwords,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r]')) AS n_punct,
+                   len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')))
+                       AS n_unique_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   CAST(FLOOR((
+                       least(n_tokens / 32.0, 1.0) * 0.3
+                       + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2
+                       + (n_unique_tokens / greatest(n_tokens, 1)) * 0.3
+                       + least(n_stopwords / greatest(n_tokens, 1) * 4, 1.0) * 0.2
+                   ) * 10000 + 0.5) AS BIGINT) AS quality_q4
+            FROM c
+        )
+        SELECT doc_id, lang, quality_q4,
+               CAST(FLOOR(percent_rank() OVER (PARTITION BY lang
+                                               ORDER BY quality_q4)
+                          * 10000 + 0.5) AS BIGINT) AS pct_q4
+        FROM s
     """
     out["language_id"] = """
         WITH t AS (

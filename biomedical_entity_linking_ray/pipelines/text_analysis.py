@@ -458,6 +458,24 @@ def scrub_patterns(
 _QS_CACHE: list = []
 
 
+def _scored_with_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Materialized skinny (doc_id, lang, quality_q4) table — the shared
+    input of the quantile gate and the percentile normalizer."""
+
+    def score_lang(t: pa.Table) -> pa.Table:
+        if not _QS_CACHE:
+            _QS_CACHE.append(QualityScorer())
+        out = _QS_CACHE[0](t)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "lang": t["lang"],
+            "quality_q4": out["quality_q4"],
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        score_lang, batch_format="pyarrow", batch_size=2048).materialize()
+
+
 def quality_filtered(sf_dir: str, q: float = 0.8) -> "ray.data.Dataset":
     """Keep documents whose quality score is at or above their LANGUAGE's
     q-quantile -> (doc_id, lang, quality_q4). The Gopher/FineWeb-style
@@ -479,18 +497,7 @@ def quality_filtered(sf_dir: str, q: float = 0.8) -> "ray.data.Dataset":
 
     from biomedical_entity_linking_ray.functions.joins import cached_broadcast
 
-    def score_lang(t: pa.Table) -> pa.Table:
-        if not _QS_CACHE:
-            _QS_CACHE.append(QualityScorer())
-        out = _QS_CACHE[0](t)
-        return pa.table({
-            "doc_id": out["doc_id"],
-            "lang": t["lang"],
-            "quality_q4": out["quality_q4"],
-        })
-
-    scored = read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        score_lang, batch_format="pyarrow", batch_size=2048).materialize()
+    scored = _scored_with_lang(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby(["lang", "quality_q4"], as_index=False) \
@@ -558,3 +565,57 @@ def shuffle_shards(sf_dir: str, n_shards: int = 16,
     return read_documents(sf_dir, ["doc_id"]).map_batches(
         add, batch_format="pyarrow", batch_size=65536) \
         .groupby("shard").map_groups(order, batch_format="pandas")
+
+
+def quality_percentiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-language percent-rank normalization of the quality score ->
+    (doc_id, lang, quality_q4, pct_q4): pct_q4 = floor(percent_rank * 10000
+    + 0.5) with percent_rank = (rank-1)/(n-1), ties sharing the minimum rank
+    (SQL PERCENT_RANK() semantics; 0 for single-row groups).
+
+    Score calibration across heterogeneous groups (a 0.7 raw score means
+    different things in different languages). Same counting-method shape as
+    `quality_filtered`: the rank table is built from (lang, value, count)
+    triples -- bounded by |langs| x 10001 regardless of corpus size -- and
+    broadcast back to the scored scan, where the percentile attach is one
+    vectorized hash-map probe per row."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    scored = _scored_with_lang(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["lang", "quality_q4"], as_index=False) \
+            .agg(cnt=("quality_q4", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = scored.map_batches(partial, batch_format="pyarrow",
+                                batch_size=131072) \
+        .groupby(["lang", "quality_q4"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()  # bounded: <= |langs| * 10001 rows by construction
+
+    pct_of: dict = {}
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values("quality_q4").reset_index(drop=True)
+        c = g["cnt"].to_numpy()
+        n = int(c.sum())
+        rank_min = np.concatenate([[0], np.cumsum(c)[:-1]]) + 1  # ties: min rank
+        if n > 1:
+            pct = np.floor((rank_min - 1) / (n - 1) * 10000 + 0.5).astype(np.int64)
+        else:
+            pct = np.zeros(len(g), dtype=np.int64)
+        for v, p in zip(g["quality_q4"].to_numpy(), pct):
+            pct_of[(lang, int(v))] = int(p)
+    ref = _ray.put(pct_of)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = cached_broadcast(ref)
+        langs = t["lang"].to_pylist()
+        q4 = t["quality_q4"].to_numpy(zero_copy_only=False)
+        pct = np.fromiter((m[(langs[i], int(q4[i]))] for i in range(len(q4))),
+                          dtype=np.int64, count=len(q4))
+        return t.append_column("pct_q4", pa.array(pct, pa.int64()))
+
+    return scored.map_batches(attach, batch_format="pyarrow")
