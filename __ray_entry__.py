@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,
+        # per-language heavy hitters (grouped exact top-k tokens)
+        "top_tokens_by_lang": text_analysis.top_tokens_by_lang,
         "quality_scores": text_analysis.quality_scores,
         # per-language quantile quality gate (keep docs at/above the
         # language's 0.8 quantile of quality_q4)
@@ -511,6 +513,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT bigram, count(*) AS n
         FROM big GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 100
+    """
+    out["top_tokens_by_lang"] = """
+        WITH toks AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+            FROM documents
+        ), cnt AS (
+            SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
+        ), r AS (
+            SELECT lang, token, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, token ASC) AS rn
+            FROM cnt
+        )
+        SELECT lang, token, n FROM r WHERE rn <= 10
     """
     out["exact_dedup"] = """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id

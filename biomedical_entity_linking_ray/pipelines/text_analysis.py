@@ -619,3 +619,45 @@ def quality_percentiles(sf_dir: str) -> "ray.data.Dataset":
         return t.append_column("pct_q4", pa.array(pct, pa.int64()))
 
     return scored.map_batches(attach, batch_format="pyarrow")
+
+
+def top_tokens_by_lang(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Per-language heavy hitters: the k most frequent tokens within each
+    language, (lang, token, n), ties by token ascending.
+
+    Grouped variant of `top_bigrams`: per-batch (lang, token) value_counts
+    is the combiner, the exact merge rides the bucketed path (token
+    cardinality scales with the corpus), and the final per-group cut is ONE
+    fine-grained groupby on the BOUNDED lang key -- each (lang, token)
+    exists exactly once after the merge, so the in-group vectorized top-k
+    is exact."""
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs_out: list[str] = []
+        toks_out: list[str] = []
+        rows = []
+        for lang, s in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for w in _LOWER_WORD.findall(s.lower()):
+                rows.append((lang, w))
+        if not rows:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.Series(rows).value_counts()
+        langs_out = [a for a, _ in vc.index]
+        toks_out = [b for _, b in vc.index]
+        return pa.table({"lang": pa.array(langs_out, pa.string()),
+                         "token": pa.array(toks_out, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = bucketed_aggregate(
+        read_documents(sf_dir, ["text", "lang"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=4096),
+        ["lang", "token"], {"n": ("n", "sum")})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "token"],
+                             ascending=[False, True]).head(k)
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
