@@ -204,3 +204,67 @@ def test_connected_components_matches_union_find(n_nodes, raw_edges):
     assert dict(zip(got["file_id"], got["cluster_id"])) == want
     # canonical = cluster representative by construction
     assert (got["cluster_id"] == got["canonical_id"]).all()
+
+
+# ---------------------------------------------------------------------------
+# sub-document dedup kernels: vectorized offset arithmetic vs pure Python
+# ---------------------------------------------------------------------------
+
+_DOC_WORD = st.text(alphabet=st.sampled_from(list("abxy0")), min_size=0, max_size=4)
+_DOC = st.lists(_DOC_WORD, min_size=0, max_size=20).map(" ".join)
+
+
+@_PURE_SETTINGS
+@given(st.lists(_DOC, min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=7))
+def test_segment_lists_window_matches_pure_python(texts, window):
+    """The offset-windowed Arrow segmenter == str.split chunking per doc."""
+    from biomedical_entity_linking_ray.pipelines.dedup import _segment_lists
+
+    paras, n_parts = _segment_lists(pa.array(texts, pa.string()), window, None)
+    got = paras.to_pylist()
+    pos = 0
+    for i, s in enumerate(texts):
+        ws = s.split(" ")
+        exp = [" ".join(ws[j:j + window]) for j in range(0, len(ws), window)]
+        assert n_parts[i] == len(exp)
+        assert got[pos:pos + len(exp)] == exp, (s, window)
+        pos += len(exp)
+    assert pos == len(got)
+
+
+@_PURE_SETTINGS
+@given(st.lists(_DOC, min_size=1, max_size=12))
+def test_segment_lists_delim_matches_str_split(texts):
+    from biomedical_entity_linking_ray.pipelines.dedup import _segment_lists
+
+    paras, n_parts = _segment_lists(pa.array(texts, pa.string()), None, "b")
+    got = paras.to_pylist()
+    pos = 0
+    for i, s in enumerate(texts):
+        exp = s.split("b")
+        assert n_parts[i] == len(exp)
+        assert got[pos:pos + len(exp)] == exp
+        pos += len(exp)
+
+
+@_PURE_SETTINGS
+@given(st.lists(_DOC, min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=6))
+def test_gram_occurrences_match_pure_python(texts, n):
+    """Shifted-slice element-wise-join gram enumeration == nested loops,
+    including exact cross-document boundary masking."""
+    from biomedical_entity_linking_ray.pipelines.dedup import _gram_occurrences
+
+    t = pa.table({
+        "doc_id": pa.array(range(100, 100 + len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    doc_rep, i_idx, grams = _gram_occurrences(t, n)
+    got = list(zip(doc_rep.tolist(), i_idx.tolist(), grams.to_pylist()))
+    exp = []
+    for d, s in enumerate(texts):
+        ws = s.split(" ")
+        for i in range(len(ws) - n + 1):
+            exp.append((100 + d, i, " ".join(ws[i:i + n])))
+    assert got == exp
