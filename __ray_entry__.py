@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product); the SQL oracle closes the pair graph with a recursive CTE
         "minhash_dedup": dedup.minhash_dedup_assignments,
         "simhash_dedup": dedup.simhash_dedup_assignments,
+        "ngram_dedup": dedup.ngram_dedup_assignments,
         # graph analytics over the near-dup graph: per-node triangle counts
         # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
@@ -1130,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
     # contractions, so clusters == sha256(content) groups and the canonical
     # cluster id is the lexicographically smallest member file_id
     # (= sha256('corpus|path|commit'), the repo-wide min-id tie-break).
+    out["ngram_dedup"] = _closure_sql(out["ngram_jaccard"])
     out["linkage_exact_docs"] = """
         WITH f AS (
           SELECT CAST(doc_id AS VARCHAR) AS path, c.cm, text

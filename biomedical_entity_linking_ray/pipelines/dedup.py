@@ -1170,6 +1170,18 @@ def simhash_dedup_assignments(
     return pairs_to_assignments(pairs, sf_dir)
 
 
+def ngram_dedup_assignments(
+    sf_dir: str, n: int = 3, threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """Exact-verified fuzzy dedup: transitive closure of the EXACT token
+    n-gram Jaccard pair graph (LSH candidates, exact verify) ->
+    (doc_id, canonical_id). The strictest member of the fuzzy-dedup family:
+    unlike the minhash/simhash twins, no estimator variance -- every edge is
+    a true Jaccard >= threshold."""
+    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold)
+    return pairs_to_assignments(pairs, sf_dir)
+
+
 def pairs_to_assignments(
     pairs: "ray.data.Dataset", sf_dir: str,
 ) -> "ray.data.Dataset":
