@@ -775,3 +775,47 @@ def test_substring_dedup_spill_dir(tmp_path):
     b = substring_dedup(SF_DIR, n=8, spill_dir=str(tmp_path / "occ")) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns.tolist()], check_dtype=False)
+
+
+def test_subdoc_dedup_degenerate_inputs(tmp_path):
+    """Empty documents and intra-document repeated spans through the full
+    pipelines: an empty text is one empty part (kept at its first global
+    occurrence, dropped elsewhere); a >=n-word span repeated INSIDE one doc
+    is scrubbed at its second occurrence only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.dedup import (
+        paragraph_dedup, substring_dedup,
+    )
+
+    span = "a b c d e f g h"                       # exactly n=8 words
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "",                                    # empty doc (first '' part)
+            f"{span} mid {span}",                  # intra-doc repeated span
+            "",                                    # duplicate empty doc
+            "solo words only here",
+        ]),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    pd_out = paragraph_dedup(str(d), window=None, delim="\n") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert pd_out["n_parts"].tolist() == [1, 1, 1, 1]
+    # doc 1 keeps its empty part; doc 3's identical empty part is dropped
+    assert pd_out.loc[0, "n_kept"] == 1 and pd_out.loc[0, "text_clean"] == ""
+    assert pd_out.loc[2, "n_kept"] == 0 and pd_out.loc[2, "text_clean"] == ""
+    assert pd_out.loc[1, "n_kept"] == 1 and pd_out.loc[3, "n_kept"] == 1
+
+    sd = substring_dedup(str(d), n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 2: 17 words; the second span occurrence (positions 9..16) is
+    # covered, the first occurrence and the separator word survive
+    assert sd.loc[1, "n_words"] == 17
+    assert sd.loc[1, "n_removed"] == 8
+    assert sd.loc[1, "text_clean"] == f"{span} mid"
+    assert sd.loc[0, "n_removed"] == 0 and sd.loc[3, "n_removed"] == 0
