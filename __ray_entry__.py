@@ -247,44 +247,161 @@ def queries() -> dict[str, Callable[[str], Any]]:
             to_feat, batch_format="pyarrow")
         return relabel_canonical(assignments, feats, policy="max_tokens")
 
+    def _eval_preds(sf_dir: str):
+        """Synthetic per-mention hit_index table for the A7 report queries:
+        mention = document, type = lang, hit_index derived in closed form
+        from doc_id ((doc_id * 2654435761) % 97 bucketed into ranks
+        0/1/2/3/4/6/9/MISS) so the SQL oracle rebuilds the identical input
+        and the report aggregation itself is what gets verified."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+
+        def to_preds(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = (d * 2654435761) % 97
+            hit = np.select(
+                [h < 40, h < 55, h < 63, h < 70, h < 76, h < 82, h < 88],
+                [0, 1, 2, 3, 4, 6, 9], default=1_000_000).astype(np.int64)
+            return pa.table({
+                "mention_id": pa.array(d),
+                "type": t["lang"],
+                "hit_index": pa.array(hit),
+            })
+
+        return docs.map_batches(to_preds, batch_format="pyarrow")
+
+    def eval_crosstab(sf_dir: str):
+        """A7 per-type statistical report (ref bioel/bioel/evaluate.py:686-874):
+        per-type success / hit@k / CG-miss / NED-miss counts, accuracy and
+        recall@k, the CG/NED contingency crosstab cells and the chi-square
+        statistic over each crosstab -- the whole report distributed as one
+        partial-count pass + a |types|-row merge."""
+        from biomedical_entity_linking_ray.stages.evaluation import detailed_type_report
+
+        return detailed_type_report(_eval_preds(sf_dir), k=5)
+
+    def eval_precision_at_k(sf_dir: str):
+        """A7 ranking metrics (ref bioel/bioel/evaluate.py:288-351):
+        precision@k, the DK variant and MAP@k for k=1..5 via streaming
+        integer partial sums (exact-rational MAP numerator)."""
+        from biomedical_entity_linking_ray.stages.evaluation import precision_report
+
+        return precision_report(_eval_preds(sf_dir), ks=(1, 2, 3, 4, 5))
+
+    # REGISTRY ORDER MATTERS: the driver verifies roughly the first 50
+    # entries in dict order against oracle_sql(). The flagship + the queries
+    # never yet driver-verified come FIRST; the long-stable relational /
+    # analytics battery (green in r1-r3) rotates to the back as regression
+    # insurance only.
     return {
-        # --- relational operator battery (SQL-checked) ---
-        "pricing_summary": relational.pricing_summary,
-        "top_orders": relational.top_orders,
-        "revenue_by_nation": relational.revenue_by_nation,
-        "customers_without_orders": relational.customers_without_orders,
-        "parts_with_lineitems": relational.parts_with_lineitems,
-        # same semi join through the Bloom-prune + exact-verify scale path
-        "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
-        "event_type_counts": relational.event_type_counts,
-        "union_order_extremes": relational.union_order_extremes,
-        "lineitem_sequence": relational.lineitem_sequence,
-        "events_hourly": relational.events_hourly,
-        "high_value_lineitems": relational.high_value_lineitems,
-        "part_returnflag_sets": relational.part_returnflag_sets,
-        "orders_sample": relational.orders_sample,
-        "events_stratified_sample": relational.events_stratified_sample,
-        "order_flag_sequences": relational.order_flag_sequences,
-        "order_stats": relational.order_stats,
-        "top_order_per_customer": relational.top_order_per_customer,
-        "user_sessions": relational.user_sessions,
-        "event_props_k": relational.event_props_k,
-        "user_running_value": analytics.user_running_value,
-        # --- temporal joins / windows / quantiles / distinct (analytics) ---
-        "events_asof_prior": analytics.events_asof_prior,
-        "events_nearby": analytics.events_nearby,
-        "events_hopping": analytics.events_hopping,
-        "quantity_quantiles": analytics.quantity_quantiles,
-        # continuous-domain quantiles via deterministic bottom-k sample --
-        # the sampling itself is replicated in the SQL oracle
-        "value_quantiles_sampled": analytics.value_quantiles_sampled,
-        "distinct_users_by_type": analytics.distinct_users_by_type,
-        # the HLL estimator is deterministic given splitmix64, so the sketch
-        # itself is oracled closed-form in SQL (analytics._hll_sql)
-        "distinct_users_hll": analytics.distinct_users_hll,
-        # exact-size deterministic reservoir (bottom-k by keyed hash):
-        # the k sample ROWS per group, mergeable and rerun-stable
-        "events_sample_k": analytics.events_sample_k,
+        # --- flagship linkage (DEFAULT config, value-exact planted oracle) ---
+        # linkage_assignments / linkage_cluster_sizes: DEFAULT config over the
+        # planted corpus -- value-exact SQL oracle (closed-form cluster
+        # structure; see synth.planted_files_from_docs for the soundness
+        # argument). linkage_synth_assignments: default config over the
+        # adversarial synthetic corpus (hot block, decoys) -- rows-only here,
+        # pinned by pytest gold F1 + single-process parity.
+        # linkage_exact_docs: tau-above-ceiling config, sha-group oracle.
+        "linkage_assignments": linkage_assignments,
+        "linkage_assignments_only": linkage_assignments_only,
+        "linkage_cluster_sizes": linkage_cluster_sizes,
+        "linkage_synth_assignments": linkage_synth_assignments,
+        "linkage_exact_docs": linkage_exact_docs,
+        # --- composite UMLS loader (S8) over a documents-derived fixture ---
+        "umls_canonical": umls_canonical,
+        # --- canonical-policy slot (G5) over a SQL-known cluster structure ---
+        "canonical_by_tokens": canonical_by_tokens,
+        # Lee et al. 2022 ExactSubstr analog at word 8-gram resolution:
+        # every word covered by a non-first occurrence of a duplicated
+        # 8-gram is removed; the first occurrence always survives
+        "substring_dedup": dedup.substring_dedup,
+        # --- per-type evaluation report (A7: crosstab / chi2 / P@k / MAP@k) ---
+        "eval_crosstab": eval_crosstab,
+        "eval_precision_at_k": eval_precision_at_k,
+        # --- similarity search over embeddings ---
+        "knn_bruteforce": similarity.knn_bruteforce,
+        # metadata-filtered vector search (label < 5 pushed into the scan)
+        "knn_filtered": similarity.knn_filtered,
+        "knn_lsh": similarity.knn_lsh,
+        # exhaustive config: zero hyperplanes admit every candidate, so the
+        # bucket/mask/merge plumbing returns the exact top-k and the
+        # brute-force SQL oracle applies verbatim
+        "knn_lsh_exhaustive": lambda sf_dir: similarity.knn_lsh(
+            sf_dir, lsh_planes=0, rotations=1),
+        "knn_ivf": similarity.knn_ivf,
+        # exhaustive config: nprobe == n_centroids admits every inverted list,
+        # so the IVF machinery returns the exact top-k and the brute-force
+        # SQL oracle applies verbatim (checks the probe/mask/merge plumbing)
+        "knn_ivf_exhaustive": lambda sf_dir: similarity.knn_ivf(
+            sf_dir, n_centroids=16, nprobe=16),
+        "knn_label_recall": similarity.label_recall_at_k,
+        # --- warm-encoder actor pool (documents -> embedding table) ---
+        "doc_embeddings": _doc_embeddings,
+        # --- near-dup pair family ---
+        "minhash_near_dup": dedup.minhash_near_dup_pairs,
+        "simhash_near_dup": dedup.simhash_near_dup_pairs,
+        # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
+        # rotated prefixes guarantees a shared bucket, so the LSH recall is
+        # exactly 1.0 and a full SQL oracle applies. all_pairs_max is lifted:
+        # the default per-bucket window bound would silently trade away the
+        # recall guarantee on a >64-member prefix bucket (observed at sf0.1)
+        "simhash_near_dup_exact": lambda sf_dir: dedup.simhash_near_dup_pairs(
+            sf_dir, max_hamming=3, prefix_bits=16, all_pairs_max=1_000_000),
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
+        "embedding_near_dup": dedup.embedding_near_dup_exact,
+        "embedding_near_dup_lsh": dedup.embedding_near_dup_pairs,
+        # exhaustive config: zero hyperplanes put every vector in one bucket
+        # and all_pairs_max admits the whole bucket, so the LSH
+        # explode/verify/agg plumbing returns the exact all-pairs result and
+        # the cross-join SQL oracle applies verbatim
+        "embedding_near_dup_lsh_exhaustive": lambda sf_dir: dedup.embedding_near_dup_pairs(
+            sf_dir, threshold=0.4, lsh_planes=0, rotations=1,
+            all_pairs_max=1_000_000, dtype="float64"),
+        # --- multimodal (real stdlib codecs: PNG/PPM, WAV, framed clips) ---
+        "image_features": multimodal.image_feature_pipeline,
+        "audio_features": multimodal.audio_feature_pipeline,
+        "video_frames": multimodal.video_frame_pipeline,
+        # oracle projections: the payload generators derive dims/duration/
+        # frame layout in closed form from splitmix64(doc_id ^ seed), which
+        # the SQL oracle recomputes directly (split-multiply mod 2^64) -- so
+        # a header mis-parse, filter-reconstruction bug or frame-framing bug
+        # in the REAL codecs shows up as a value mismatch end to end
+        # (pixel/sample statistics stay rows-only: SQL cannot decode PNG/WAV)
+        "image_dims": _image_dims,
+        "audio_durations": lambda sf_dir: multimodal.audio_feature_pipeline(
+            sf_dir).select_columns(["doc_id", "duration_sec"]),
+        "video_frame_index": lambda sf_dir: multimodal.video_frame_pipeline(
+            sf_dir).select_columns(["doc_id", "frame_idx"]),
+        # --- dedup family (r3-green; re-verified inside the window) ---
+        "exact_dedup": dedup.exact_dedup,
+        # incremental dedup vs a reference corpus (Bloom map-side shortcut:
+        # filter misses are provably novel and never shuffle)
+        "novel_documents": dedup.novel_documents,
+        # test-set decontamination: training docs sharing no word 4-gram
+        # with the benchmark slice (map-side filter vs a broadcast gram set)
+        "decontaminated_documents": dedup.decontaminate_documents,
+        # CCNet/RefinedWeb-style paragraph-level dedup: drop every non-first
+        # occurrence of a duplicated paragraph, rebuild documents. The
+        # synthetic corpus is single-line, so the word-window segmenter
+        # (16-word parts) stands in for '\n' paragraphs; the SQL oracle
+        # replicates the same segmentation + global first-wins rule
+        "paragraph_dedup": dedup.paragraph_dedup,
+        # end-to-end fuzzy dedup: MinHash pairs -> connected components ->
+        # min-id canonical per near-dup cluster (the keep-one-per-cluster
+        # product); the SQL oracle closes the pair graph with a recursive CTE
+        "minhash_dedup": dedup.minhash_dedup_assignments,
+        "simhash_dedup": dedup.simhash_dedup_assignments,
+        "ngram_dedup": dedup.ngram_dedup_assignments,
+        # graph analytics over the near-dup graph: per-node triangle counts
+        # (clique-vs-chain diagnostic for the dedup threshold)
+        "near_dup_triangles": dedup.near_dup_triangles,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,
@@ -311,104 +428,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text, which would make the oracle vacuous)
         "doc_scrub": lambda sf_dir: text_analysis.scrub_patterns(
             sf_dir, patterns=(("vendor", r"spark"), ("batchy", r"batch[a-z]*"))),
-        # --- dedup family ---
-        "exact_dedup": dedup.exact_dedup,
-        # incremental dedup vs a reference corpus (Bloom map-side shortcut:
-        # filter misses are provably novel and never shuffle)
-        "novel_documents": dedup.novel_documents,
-        # test-set decontamination: training docs sharing no word 4-gram
-        # with the benchmark slice (map-side filter vs a broadcast gram set)
-        "decontaminated_documents": dedup.decontaminate_documents,
-        # CCNet/RefinedWeb-style paragraph-level dedup: drop every non-first
-        # occurrence of a duplicated paragraph, rebuild documents. The
-        # synthetic corpus is single-line, so the word-window segmenter
-        # (16-word parts) stands in for '\n' paragraphs; the SQL oracle
-        # replicates the same segmentation + global first-wins rule
-        "paragraph_dedup": dedup.paragraph_dedup,
-        # end-to-end fuzzy dedup: MinHash pairs -> connected components ->
-        # min-id canonical per near-dup cluster (the keep-one-per-cluster
-        # product); the SQL oracle closes the pair graph with a recursive CTE
-        "minhash_dedup": dedup.minhash_dedup_assignments,
-        "simhash_dedup": dedup.simhash_dedup_assignments,
-        "ngram_dedup": dedup.ngram_dedup_assignments,
-        # graph analytics over the near-dup graph: per-node triangle counts
-        # (clique-vs-chain diagnostic for the dedup threshold)
-        "near_dup_triangles": dedup.near_dup_triangles,
-        # Lee et al. 2022 ExactSubstr analog at word 8-gram resolution:
-        # every word covered by a non-first occurrence of a duplicated
-        # 8-gram is removed; the first occurrence always survives
-        "substring_dedup": dedup.substring_dedup,
-        "minhash_near_dup": dedup.minhash_near_dup_pairs,
-        "simhash_near_dup": dedup.simhash_near_dup_pairs,
-        # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
-        # rotated prefixes guarantees a shared bucket, so the LSH recall is
-        # exactly 1.0 and a full SQL oracle applies. all_pairs_max is lifted:
-        # the default per-bucket window bound would silently trade away the
-        # recall guarantee on a >64-member prefix bucket (observed at sf0.1)
-        "simhash_near_dup_exact": lambda sf_dir: dedup.simhash_near_dup_pairs(
-            sf_dir, max_hamming=3, prefix_bits=16, all_pairs_max=1_000_000),
-        "ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
-        "embedding_near_dup": dedup.embedding_near_dup_exact,
-        "embedding_near_dup_lsh": dedup.embedding_near_dup_pairs,
-        # exhaustive config: zero hyperplanes put every vector in one bucket
-        # and all_pairs_max admits the whole bucket, so the LSH
-        # explode/verify/agg plumbing returns the exact all-pairs result and
-        # the cross-join SQL oracle applies verbatim
-        "embedding_near_dup_lsh_exhaustive": lambda sf_dir: dedup.embedding_near_dup_pairs(
-            sf_dir, threshold=0.4, lsh_planes=0, rotations=1,
-            all_pairs_max=1_000_000, dtype="float64"),
-        # --- similarity search over embeddings ---
-        "knn_bruteforce": similarity.knn_bruteforce,
-        # metadata-filtered vector search (label < 5 pushed into the scan)
-        "knn_filtered": similarity.knn_filtered,
-        "knn_lsh": similarity.knn_lsh,
-        # exhaustive config: zero hyperplanes admit every candidate, so the
-        # bucket/mask/merge plumbing returns the exact top-k and the
-        # brute-force SQL oracle applies verbatim
-        "knn_lsh_exhaustive": lambda sf_dir: similarity.knn_lsh(
-            sf_dir, lsh_planes=0, rotations=1),
-        "knn_ivf": similarity.knn_ivf,
-        # exhaustive config: nprobe == n_centroids admits every inverted list,
-        # so the IVF machinery returns the exact top-k and the brute-force
-        # SQL oracle applies verbatim (checks the probe/mask/merge plumbing)
-        "knn_ivf_exhaustive": lambda sf_dir: similarity.knn_ivf(
-            sf_dir, n_centroids=16, nprobe=16),
-        "knn_label_recall": similarity.label_recall_at_k,
-        # --- warm-encoder actor pool (documents -> embedding table) ---
-        "doc_embeddings": _doc_embeddings,
-        # --- multimodal (real stdlib codecs: PNG/PPM, WAV, framed clips) ---
-        "image_features": multimodal.image_feature_pipeline,
-        "audio_features": multimodal.audio_feature_pipeline,
-        "video_frames": multimodal.video_frame_pipeline,
-        # oracle projections: the payload generators derive dims/duration/
-        # frame layout in closed form from splitmix64(doc_id ^ seed), which
-        # the SQL oracle recomputes directly (split-multiply mod 2^64) -- so
-        # a header mis-parse, filter-reconstruction bug or frame-framing bug
-        # in the REAL codecs shows up as a value mismatch end to end
-        # (pixel/sample statistics stay rows-only: SQL cannot decode PNG/WAV)
-        "image_dims": _image_dims,
-        "audio_durations": lambda sf_dir: multimodal.audio_feature_pipeline(
-            sf_dir).select_columns(["doc_id", "duration_sec"]),
-        "video_frame_index": lambda sf_dir: multimodal.video_frame_pipeline(
-            sf_dir).select_columns(["doc_id", "frame_idx"]),
-        # --- composite UMLS loader (S8) over a documents-derived fixture ---
-        "umls_canonical": umls_canonical,
-        # --- canonical-policy slot (G5) over a SQL-known cluster structure ---
-        "canonical_by_tokens": canonical_by_tokens,
-        # --- flagship linkage ---
-        # linkage_assignments / linkage_cluster_sizes: DEFAULT config over the
-        # planted corpus -- value-exact SQL oracle (closed-form cluster
-        # structure; see synth.planted_files_from_docs for the soundness
-        # argument). linkage_synth_assignments: default config over the
-        # adversarial synthetic corpus (hot block, decoys) -- rows-only here,
-        # pinned by pytest gold F1 + single-process parity.
-        # linkage_exact_docs: tau-above-ceiling config, sha-group oracle.
-        "linkage_assignments": linkage_assignments,
-        "linkage_assignments_only": linkage_assignments_only,
-        "linkage_cluster_sizes": linkage_cluster_sizes,
-        "linkage_synth_assignments": linkage_synth_assignments,
-        "linkage_exact_docs": linkage_exact_docs,
+        # --- temporal joins / windows / quantiles / distinct (analytics) ---
+        "events_asof_prior": analytics.events_asof_prior,
+        "events_nearby": analytics.events_nearby,
+        "events_hopping": analytics.events_hopping,
+        "quantity_quantiles": analytics.quantity_quantiles,
+        # continuous-domain quantiles via deterministic bottom-k sample --
+        # the sampling itself is replicated in the SQL oracle
+        "value_quantiles_sampled": analytics.value_quantiles_sampled,
+        "distinct_users_by_type": analytics.distinct_users_by_type,
+        # the HLL estimator is deterministic given splitmix64, so the sketch
+        # itself is oracled closed-form in SQL (analytics._hll_sql)
+        "distinct_users_hll": analytics.distinct_users_hll,
+        # exact-size deterministic reservoir (bottom-k by keyed hash):
+        # the k sample ROWS per group, mergeable and rerun-stable
+        "events_sample_k": analytics.events_sample_k,
+        "user_running_value": analytics.user_running_value,
+        # --- relational operator battery (SQL-checked, stable since r1) ---
+        "pricing_summary": relational.pricing_summary,
+        "top_orders": relational.top_orders,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "customers_without_orders": relational.customers_without_orders,
+        "parts_with_lineitems": relational.parts_with_lineitems,
+        # same semi join through the Bloom-prune + exact-verify scale path
+        "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
+        "event_type_counts": relational.event_type_counts,
+        "union_order_extremes": relational.union_order_extremes,
+        "lineitem_sequence": relational.lineitem_sequence,
+        "events_hourly": relational.events_hourly,
+        "high_value_lineitems": relational.high_value_lineitems,
+        "part_returnflag_sets": relational.part_returnflag_sets,
+        "orders_sample": relational.orders_sample,
+        "events_stratified_sample": relational.events_stratified_sample,
+        "order_flag_sequences": relational.order_flag_sequences,
+        "order_stats": relational.order_stats,
+        "top_order_per_customer": relational.top_order_per_customer,
+        "user_sessions": relational.user_sessions,
+        "event_props_k": relational.event_props_k,
     }
 
 
@@ -1328,6 +1384,94 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cluster_id, count(*) AS "size", count(DISTINCT lang) AS n_langs
         FROM asn GROUP BY cluster_id HAVING count(*) >= 2
+    """
+    # A7 report oracles: the synthetic hit_index rule is rebuilt in closed
+    # form ((doc_id * 2654435761) % 97 bucketed), then the per-type counts,
+    # contingency crosstabs and the Pearson chi-square statistic are computed
+    # directly. No Yates correction on either side: dof = |types|-1 >= 2 on
+    # this corpus (the Python path applies it only when dof == 1).
+    _preds_cte = """
+        WITH preds AS (
+          SELECT doc_id AS mention_id, lang AS type,
+                 CASE WHEN h < 40 THEN 0 WHEN h < 55 THEN 1
+                      WHEN h < 63 THEN 2 WHEN h < 70 THEN 3
+                      WHEN h < 76 THEN 4 WHEN h < 82 THEN 6
+                      WHEN h < 88 THEN 9 ELSE 1000000 END AS hit
+          FROM (SELECT doc_id, lang, (doc_id * 2654435761) % 97 AS h
+                FROM documents)
+        )
+    """
+    out["eval_crosstab"] = _preds_cte + """
+        , ct AS (
+          SELECT type,
+                 count(*) AS n_mentions,
+                 SUM(CASE WHEN hit = 0 THEN 1 ELSE 0 END) AS n_success,
+                 SUM(CASE WHEN hit < 5 THEN 1 ELSE 0 END) AS n_hit_k,
+                 SUM(CASE WHEN hit > 5 THEN 1 ELSE 0 END) AS n_miss_cg,
+                 SUM(CASE WHEN hit <= 5 AND hit != 0 THEN 1 ELSE 0 END)
+                     AS n_miss_ned,
+                 SUM(CASE WHEN hit != 1000000 THEN 1 ELSE 0 END) AS cg_hit
+          FROM preds GROUP BY type
+        ),
+        tot AS (
+          SELECT SUM(n_mentions)::DOUBLE AS t,
+                 SUM(cg_hit)::DOUBLE AS c1,
+                 SUM(n_mentions - cg_hit)::DOUBLE AS c0,
+                 SUM(n_success)::DOUBLE AS d1,
+                 SUM(n_mentions - n_success)::DOUBLE AS d0,
+                 count(*) AS r
+          FROM ct
+        ),
+        chi AS (
+          SELECT
+            SUM(power(ct.cg_hit - ct.n_mentions * tot.c1 / tot.t, 2)
+                  / (ct.n_mentions * tot.c1 / tot.t)
+              + power((ct.n_mentions - ct.cg_hit)
+                      - ct.n_mentions * tot.c0 / tot.t, 2)
+                  / (ct.n_mentions * tot.c0 / tot.t)) AS chi2_cg,
+            SUM(power(ct.n_success - ct.n_mentions * tot.d1 / tot.t, 2)
+                  / (ct.n_mentions * tot.d1 / tot.t)
+              + power((ct.n_mentions - ct.n_success)
+                      - ct.n_mentions * tot.d0 / tot.t, 2)
+                  / (ct.n_mentions * tot.d0 / tot.t)) AS chi2_ned,
+            max(tot.r) - 1 AS dof
+          FROM ct, tot
+        )
+        SELECT ct.type, ct.n_mentions, ct.n_success, ct.n_hit_k,
+               ct.n_miss_cg, ct.n_miss_ned, ct.cg_hit,
+               ct.n_mentions - ct.cg_hit AS cg_miss,
+               ct.n_success AS ned_hit,
+               ct.n_mentions - ct.n_success AS ned_miss,
+               CAST(FLOOR(ct.n_success::DOUBLE / ct.n_mentions * 10000 + 0.5)
+                    AS BIGINT) AS accuracy_q4,
+               CAST(FLOOR(ct.n_hit_k::DOUBLE / ct.n_mentions * 10000 + 0.5)
+                    AS BIGINT) AS recall_k_q4,
+               CAST(FLOOR(chi.chi2_cg * 10000 + 0.5) AS BIGINT) AS chi2_cg_q4,
+               CAST(FLOOR(chi.chi2_ned * 10000 + 0.5) AS BIGINT) AS chi2_ned_q4,
+               chi.dof::BIGINT AS dof
+        FROM ct, chi
+    """
+    # precision@k (reference definition hits/(k*n)), the DK variant (hits/n)
+    # and MAP@k with an exact-integer numerator (60 // (hit+1) -- hit+1
+    # divides 60 for every hit < 5) so addition order cannot perturb it.
+    out["eval_precision_at_k"] = _preds_cte + """
+        , ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+        s AS (
+          SELECT ks.k,
+                 count(*) AS n_mentions,
+                 SUM(CASE WHEN hit < ks.k THEN 1 ELSE 0 END) AS hits,
+                 SUM(CASE WHEN hit < ks.k THEN 60 // (hit + 1) ELSE 0 END)
+                     AS ap60
+          FROM ks CROSS JOIN preds GROUP BY ks.k
+        )
+        SELECT k, n_mentions,
+               CAST(FLOOR(hits::DOUBLE / (k * n_mentions) * 10000 + 0.5)
+                    AS BIGINT) AS precision_q4,
+               CAST(FLOOR(hits::DOUBLE / n_mentions * 10000 + 0.5)
+                    AS BIGINT) AS precision_dk_q4,
+               CAST(FLOOR(ap60::DOUBLE / 60.0 / n_mentions * 10000 + 0.5)
+                    AS BIGINT) AS map_q4
+        FROM s
     """
     # simhash (12-bit whp config) / ngram_jaccard (LSH) /
     # embedding LSH / knn_lsh / knn_ivf (whp configs) / doc_embeddings /

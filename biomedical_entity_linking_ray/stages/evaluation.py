@@ -184,6 +184,155 @@ def blocking_recall(
     return hits / len(pos)
 
 
+#: the reference's sentinel for "gold id absent from the candidate list"
+#: (bioel/bioel/evaluate.py:299 treats it as an out-of-range hit index).
+MISS_SENTINEL = 1_000_000
+
+
+def _chi2_stat(obs) -> tuple[float, int]:
+    """Pearson chi-square statistic + dof for an r x c contingency table
+    (scipy.chi2_contingency semantics: Yates continuity correction applied
+    only when dof == 1; p-value omitted -- no chi2 CDF in this container,
+    and none in the SQL oracle either)."""
+    import numpy as np
+
+    obs = np.asarray(obs, dtype=np.float64)
+    total = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / total
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    diff = np.abs(obs - exp)
+    if dof == 1:
+        diff = np.clip(diff - 0.5, 0.0, None)
+    return float((diff * diff / exp).sum()), dof
+
+
+def detailed_type_report(preds: "ray.data.Dataset", k: int = 5) -> pa.Table:
+    """A7 per-type statistical report (ref bioel/bioel/evaluate.py:686-874).
+
+    Input: per-mention results `(mention_id, type, hit_index)` where
+    `hit_index` is the 0-based rank of the gold id in the candidate list
+    (0 = top-1 correct, MISS_SENTINEL = not retrieved at all).
+
+    One streaming pass computes per-batch PARTIAL per-type counts
+    (vectorized masks, no Python row loop), a tiny groupby-sum merges them,
+    and the chi-square statistics over the CG / NED contingency crosstabs
+    are computed on the |types|-row result. Per-type columns mirror the
+    reference: success (hit==0), hit@k (hit<k), CG miss (hit>k), NED miss
+    (0<hit<=k), the CG/NED crosstab cells, accuracy and recall@k
+    (quantized to 1e-4 as `*_q4` integers for cross-engine hash stability),
+    plus the table-wide chi2_cg_q4 / chi2_ned_q4 / dof constants.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = t["hit_index"].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = np.asarray(t["type"].to_pylist(), dtype=object)
+        cats, codes = np.unique(typ, return_inverse=True)
+        n_cat = len(cats)
+
+        def seg(mask) -> np.ndarray:
+            return np.bincount(codes[mask], minlength=n_cat).astype(np.int64)
+
+        ones = np.ones_like(hit, dtype=bool)
+        return pa.table({
+            "type": pa.array(cats.tolist(), pa.string()),
+            "n_mentions": pa.array(seg(ones)),
+            "n_success": pa.array(seg(hit == 0)),
+            "n_hit_k": pa.array(seg(hit < k)),
+            "n_miss_cg": pa.array(seg(hit > k)),
+            "n_miss_ned": pa.array(seg((hit <= k) & (hit != 0))),
+            "cg_hit": pa.array(seg(hit != MISS_SENTINEL)),
+        })
+
+    agg = (preds.map_batches(partial, batch_format="pyarrow")
+           .groupby("type")
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ("n_mentions", "n_success", "n_hit_k",
+                         "n_miss_cg", "n_miss_ned", "cg_hit")]))
+    # |types| rows: driver-side finish is O(types), not O(corpus)
+    df = agg.to_pandas().sort_values("type").reset_index(drop=True)
+
+    n = df["n_mentions"].to_numpy(dtype=np.int64)
+    cg_hit = df["cg_hit"].to_numpy(dtype=np.int64)
+    ned_hit = df["n_success"].to_numpy(dtype=np.int64)
+    chi2_cg, dof = _chi2_stat(np.stack([n - cg_hit, cg_hit], axis=1))
+    chi2_ned, _ = _chi2_stat(np.stack([n - ned_hit, ned_hit], axis=1))
+
+    def q4(x) -> np.ndarray:
+        return np.floor(np.asarray(x, dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+
+    out = df.copy()
+    out["cg_miss"] = n - cg_hit
+    out["ned_hit"] = ned_hit
+    out["ned_miss"] = n - ned_hit
+    out["accuracy_q4"] = q4(df["n_success"] / n)
+    out["recall_k_q4"] = q4(df["n_hit_k"] / n)
+    out["chi2_cg_q4"] = q4(chi2_cg)
+    out["chi2_ned_q4"] = q4(chi2_ned)
+    out["dof"] = np.int64(dof)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def precision_report(preds: "ray.data.Dataset", ks: tuple = (1, 2, 3, 4, 5)) -> pa.Table:
+    """A7 ranking metrics (ref bioel/bioel/evaluate.py:288-351): for each k,
+    precision@k (reference definition: hits-within-k / (k*n)), the 'DK'
+    variant (hits-within-k / n), and MAP@k (mean of 1/(hit_index+1) when the
+    gold id is within the top k, else 0).
+
+    Streaming partial sums per batch; the MAP numerator is accumulated as an
+    INTEGER (60 // (hit+1), exact for k <= 5 since hit+1 divides 60) so
+    cross-batch addition order cannot perturb the float result -- the same
+    trick the SQL oracle uses. Ratios are quantized to `*_q4` integers.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ks = tuple(sorted(ks))
+    if max(ks) > 5:
+        raise ValueError("precision_report supports k <= 5 (exact-int MAP trick)")
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = t["hit_index"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_n, rows_hits, rows_ap = [], [], []
+        for k in ks:
+            mask = hit < k
+            rows_n.append(len(hit))
+            rows_hits.append(int(mask.sum()))
+            rows_ap.append(int((60 // (hit[mask] + 1)).sum()))
+        return pa.table({
+            "k": pa.array(list(ks), pa.int64()),
+            "n": pa.array(rows_n, pa.int64()),
+            "hits": pa.array(rows_hits, pa.int64()),
+            "ap60": pa.array(rows_ap, pa.int64()),
+        })
+
+    agg = (preds.map_batches(partial, batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("hits", alias_name="hits"),
+                      Sum("ap60", alias_name="ap60")))
+    df = agg.to_pandas().sort_values("k").reset_index(drop=True)
+
+    k_arr = df["k"].to_numpy(dtype=np.int64)
+    n = df["n"].to_numpy(dtype=np.int64)
+    hits = df["hits"].to_numpy(dtype=np.int64)
+    ap60 = df["ap60"].to_numpy(dtype=np.int64)
+
+    def q4(x) -> np.ndarray:
+        return np.floor(np.asarray(x, dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+
+    return pa.table({
+        "k": pa.array(k_arr),
+        "n_mentions": pa.array(n),
+        "precision_q4": pa.array(q4(hits / (k_arr * n))),
+        "precision_dk_q4": pa.array(q4(hits / n)),
+        "map_q4": pa.array(q4(ap60 / 60.0 / n)),
+    })
+
+
 def recall_matrix(
     gold: "ray.data.Dataset",
     runs: "dict[str, ray.data.Dataset]",

@@ -56,7 +56,7 @@ def _assert_matches_oracle(name: str, con):
     "paragraph_dedup", "substring_dedup", "minhash_dedup", "quality_filtered",
     "shuffle_shards", "events_sample_k", "knn_filtered", "simhash_dedup",
     "near_dup_triangles", "quality_percentiles", "top_tokens_by_lang",
-    "ngram_dedup",
+    "ngram_dedup", "eval_crosstab", "eval_precision_at_k",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)
