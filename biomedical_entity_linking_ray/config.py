@@ -120,6 +120,21 @@ def effective_partitions(cfg: LinkageConfig) -> int:
     return max(cfg.join_partitions, cpus)
 
 
+def default_buckets(floor: int = 64, per_cpu: int = 16) -> int:
+    """Cluster-derived group-stage fan-out for the standalone pipelines (no
+    LinkageConfig): n_buckets = max(floor, CPUs * per_cpu).
+
+    A coarse group holds ~N/n_buckets surviving rows, so a fixed literal 64
+    makes per-task memory grow linearly with the corpus; scaling the bucket
+    count with the cluster keeps it flat (the fused scorer already does this
+    via effective_partitions(cfg) * 16 -- same shape here). Bucket count only
+    partitions work; results are invariant to it."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(floor, cpus * per_cpu)
+
+
 @dataclass(frozen=True)
 class SynthConfig:
     """Deterministic synthetic files-corpus generator knobs (FIXTURES.md 1/4)."""

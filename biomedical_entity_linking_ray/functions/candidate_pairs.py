@@ -60,7 +60,7 @@ def within_key_pairs(
     key_col: str,
     id_col: str,
     emit: Callable | None = None,
-    n_coarse: int = 64,
+    n_coarse: int | None = None,
     all_pairs_max: int = 64,
     window: int = 8,
     join_partitions: int = 8,
@@ -69,6 +69,9 @@ def within_key_pairs(
     payload_on: str | None = None,
     payload_broadcast_max: int = 500_000,
 ) -> "ray.data.Dataset":
+    from biomedical_entity_linking_ray.config import default_buckets
+
+    n_coarse = n_coarse or default_buckets()
     emit = emit or default_emit(key_col, id_col)
     payload_ref = None
     payload_cols: list[str] = []

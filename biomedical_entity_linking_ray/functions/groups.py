@@ -51,13 +51,18 @@ def bucketed_aggregate(
     ds: "ray.data.Dataset",
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """GROUP BY `keys` with named aggregations `{out_col: (in_col, fn)}`.
 
     fn in {min, max, sum, count, first, nunique, mean}; 'count' counts rows
-    (in_col ignored). One shuffle; n_buckets groups regardless of cardinality.
+    (in_col ignored). One shuffle; n_buckets groups regardless of cardinality
+    (default: cluster-derived via config.default_buckets, so per-bucket
+    memory stays flat as the cluster grows with the data).
     """
+    from biomedical_entity_linking_ray.config import default_buckets
+
+    n_buckets = n_buckets or default_buckets()
     for out, (col, fn) in aggs.items():
         assert fn in _AGGS, fn
 

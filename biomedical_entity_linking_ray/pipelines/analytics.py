@@ -30,6 +30,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from biomedical_entity_linking_ray.config import default_buckets
 from biomedical_entity_linking_ray.functions import groups, hashing
 
 
@@ -45,7 +46,7 @@ def events_asof_prior(
     sf_dir: str,
     left_type: str = "click",
     right_type: str = "purchase",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """As-of join: for each `left_type` event, the most recent STRICTLY prior
     `right_type` event by the same user (ties on ts break to max event_id),
@@ -56,6 +57,7 @@ def events_asof_prior(
     each group. Partitioning assumption: one user's history fits one group --
     true whenever per-key history fits a worker; salt by time range for
     pathological keys. Events with no prior match are dropped (inner)."""
+    n_buckets = n_buckets or default_buckets()
 
     def sides(t: pa.Table) -> pa.Table:
         et = t["event_type"]
@@ -114,7 +116,7 @@ def events_asof_prior(
 # ---------------------------------------------------------------------------
 
 def events_nearby(
-    sf_dir: str, radius_minutes: int = 60, n_buckets: int = 64,
+    sf_dir: str, radius_minutes: int = 60, n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Banded range self-join: per event, count and value-sum of OTHER events
     by the same user within +/- radius, as (event_id, n_nearby, sum_nearby).
@@ -131,6 +133,7 @@ def events_nearby(
     are prefix-sum differences -- O((B+P) log B) per group instead of the
     O(B*P) pair merge. Events with zero neighbours are dropped (inner,
     mirrors the SQL join)."""
+    n_buckets = n_buckets or default_buckets()
     radius_us = np.int64(radius_minutes) * np.int64(60_000_000)
 
     def expand(t: pa.Table) -> pa.Table:
@@ -273,7 +276,7 @@ def events_hopping(
 # cumulative window: per-key running sum
 # ---------------------------------------------------------------------------
 
-def user_running_value(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+def user_running_value(sf_dir: str, n_buckets: int | None = None) -> "ray.data.Dataset":
     """Cumulative window function: per-user running sum of `value` in
     (ts, event_id) order, as (event_id, running_value) -- the SUM() OVER
     (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING) shape.
@@ -283,6 +286,7 @@ def user_running_value(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     grouped cumsum per bucket. Accumulation order matches the SQL frame
     order exactly, so the float results are comparable. Partitioning
     assumption: one user's history fits a worker."""
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy().astype(np.uint64)

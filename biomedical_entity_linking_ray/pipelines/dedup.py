@@ -317,31 +317,46 @@ def ngram_jaccard_pairs(
     )
     j2 = hash_join(j1, feats, "inner", 8, on=("id_b",), right_on=("doc_id",))
 
+    def _flat_u64(col) -> tuple[np.ndarray, np.ndarray]:
+        """Zero-ish-copy flatten of a binary column of packed uint64 arrays:
+        (concatenated values, per-row element counts). One memcpy of the
+        Arrow data buffer; no per-row Python bytes objects."""
+        arr = col.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        vals = data[offs[0]:offs[-1]].copy().view(np.uint64)
+        return vals, np.diff(offs) // 8
+
     def verify(t: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                           "jaccard": pa.array([], pa.float64())})
         if t.num_columns == 0 or t.num_rows == 0:
             return empty
-        ia, ib, js = [], [], []
-        for a, b, ga, gb in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(),
-                                t["grams_a"].to_pylist(), t["grams"].to_pylist()):
-            sa = np.frombuffer(ga, dtype=np.uint64)   # sorted unique (gram_sets)
-            sb = np.frombuffer(gb, dtype=np.uint64)
-            if sa.size == 0 and sb.size == 0:
-                continue
-            if sa.size == 0 or sb.size == 0:
-                inter = 0
-            else:
-                # sorted-array intersection: one vectorized searchsorted per
-                # pair (no concat+re-sort as intersect1d would do)
-                idx = np.searchsorted(sa, sb)
-                idx[idx == sa.size] = sa.size - 1
-                inter = int(np.count_nonzero(sa[idx] == sb))
-            jac = inter / (sa.size + sb.size - inter)
-            if jac >= threshold:
-                ia.append(a); ib.append(b); js.append(jac)
-        return pa.table({"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
-                         "jaccard": pa.array(js, pa.float64())})
+        # fully vectorized batch intersection (the shape proven in
+        # ngram_jaccard_exact, adapted to one-array-pair-per-row): tag every
+        # gram with its pair index, one lexsort over (pair, value), and a
+        # value repeated within a pair == present on both sides (each side is
+        # distinct by construction) -- intersection sizes fall out of one
+        # bincount over the duplicate positions. No per-pair Python loop.
+        n_pairs = t.num_rows
+        va, sa = _flat_u64(t["grams_a"])
+        vb, sb = _flat_u64(t["grams"])
+        pair_of = np.concatenate([np.repeat(np.arange(n_pairs), sa),
+                                  np.repeat(np.arange(n_pairs), sb)])
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pair_of))
+        sv, sp = vals[order], pair_of[order]
+        dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=n_pairs)
+        union = sa + sb - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = (union > 0) & (jac >= threshold)
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({"id_a": t["id_a"].take(idx),
+                         "id_b": t["id_b"].take(idx),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
 
     return j2.map_batches(verify, batch_format="pyarrow")
 
@@ -804,7 +819,7 @@ def paragraph_dedup(
     sf_dir: str,
     window: int | None = 16,
     delim: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     broadcast_max: int = 500_000,
 ) -> "ray.data.Dataset":
     """Remove globally duplicated paragraphs, keep first occurrence,
@@ -964,7 +979,7 @@ def _gram_occurrences(t: pa.Table, n: int):
 def substring_dedup(
     sf_dir: str,
     n: int = 8,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     broadcast_max: int = 500_000,
     spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
@@ -1225,7 +1240,7 @@ def pairs_to_assignments(
 # ---------------------------------------------------------------------------
 
 def near_dup_triangles(
-    sf_dir: str, n_buckets: int = 64, join_partitions: int = 8,
+    sf_dir: str, n_buckets: int | None = None, join_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Per-node triangle counts over the SimHash near-dup graph:
     (doc_id, n_triangles) for every document in at least one triangle.
