@@ -90,9 +90,12 @@ def bucketed_aggregate(
 
 
 def bucketed_distinct(
-    ds: "ray.data.Dataset", keys: list[str], n_buckets: int = 64
+    ds: "ray.data.Dataset", keys: list[str], n_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """SELECT DISTINCT keys -- same bucketing, drop_duplicates per bucket."""
+    from biomedical_entity_linking_ray.config import default_buckets
+
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         df = t.select(keys).to_pandas()

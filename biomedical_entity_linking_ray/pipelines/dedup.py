@@ -527,6 +527,7 @@ def embedding_near_dup_exact(
 def embedding_near_dup_pairs(
     sf_dir: str, threshold: float = 0.3, lsh_planes: int = 12, rotations: int = 3,
     seed: int = 42, all_pairs_max: int = 64, dtype=np.float32,
+    spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, cosine) over the embeddings table, cosine >= threshold.
 
@@ -562,8 +563,12 @@ def embedding_near_dup_pairs(
                              pa.binary()),
         })
 
-    units = emb.map_batches(unitize, batch_format="pyarrow",
-                            batch_size=2048).materialize()
+    units = emb.map_batches(unitize, batch_format="pyarrow", batch_size=2048)
+    if spill_dir is not None:  # 10^12-doc path: unit vectors land as Parquet
+        units.write_parquet(spill_dir)
+        units = ray.data.read_parquet(spill_dir)
+    else:
+        units = units.materialize()
     dim = len(units.take(1)[0]["unit"]) // np.dtype(dtype).itemsize
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1241,6 +1246,7 @@ def pairs_to_assignments(
 
 def near_dup_triangles(
     sf_dir: str, n_buckets: int | None = None, join_partitions: int = 8,
+    spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Per-node triangle counts over the SimHash near-dup graph:
     (doc_id, n_triangles) for every document in at least one triangle.
@@ -1254,8 +1260,16 @@ def near_dup_triangles(
     (vectorized; O(d^2) per node on the PRUNED near-dup graph, orders of
     magnitude smaller than the corpus) -> ONE hash join of wedges against
     edges -> per-node count fold. Every triangle {u<v<w} is found exactly
-    once, at u."""
-    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    once, at u.
+
+    Oriented edges are DEDUPED up front (bucketed distinct on (u, v)), so
+    any pair source works -- a source emitting an undirected edge more than
+    once would otherwise inflate counts through the wedge-vs-edge join (the
+    adjacency side is already distinct via the 'set' agg)."""
+    from biomedical_entity_linking_ray.functions.groups import (
+        bucketed_aggregate,
+        bucketed_distinct,
+    )
     from biomedical_entity_linking_ray.functions.joins import hash_join
 
     pairs = simhash_near_dup_pairs(sf_dir)
@@ -1266,7 +1280,14 @@ def near_dup_triangles(
         return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
                          "v": pa.array(np.maximum(a, b), pa.int64())})
 
-    edges = pairs.map_batches(orient, batch_format="pyarrow").materialize()
+    edges = bucketed_distinct(
+        pairs.map_batches(orient, batch_format="pyarrow"),
+        ["u", "v"], n_buckets=n_buckets)
+    if spill_dir is not None:  # 10^12-doc path: pruned edge list as Parquet
+        edges.write_parquet(spill_dir)
+        edges = ray.data.read_parquet(spill_dir)
+    else:
+        edges = edges.materialize()
     hi = bucketed_aggregate(edges, keys=["u"], aggs={"nbrs": ("v", "set")},
                             n_buckets=n_buckets)
 

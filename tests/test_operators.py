@@ -227,9 +227,13 @@ def test_image_codecs_roundtrip():
 
 def test_dedup_spill_dir_paths_match_in_memory(tmp_path):
     """spill_dir (the 10^12-doc Parquet path) must not change results for
-    minhash, simhash or ngram pipelines."""
+    minhash, simhash, ngram, embedding-LSH or triangle pipelines."""
     from biomedical_entity_linking_ray.pipelines.dedup import (
-        minhash_near_dup_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs,
+        embedding_near_dup_pairs,
+        minhash_near_dup_pairs,
+        near_dup_triangles,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
     )
 
     def canon(ds):
@@ -240,6 +244,8 @@ def test_dedup_spill_dir_paths_match_in_memory(tmp_path):
         (minhash_near_dup_pairs, {"jaccard_threshold": 0.0}, "mh"),
         (simhash_near_dup_pairs, {}, "sh"),
         (ngram_jaccard_pairs, {"threshold": 0.1}, "ng"),
+        (embedding_near_dup_pairs, {"threshold": 0.4}, "em"),
+        (near_dup_triangles, {}, "tri"),
     ]:
         mem = canon(fn(SF_DIR, **kw))
         spill = canon(fn(SF_DIR, spill_dir=str(tmp_path / sub), **kw))
