@@ -42,6 +42,28 @@ def sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
 
 
+def sha256_hex_batch(col, trunc: int | None = None) -> "pa.Array":
+    """sha256 hex per element of an Arrow string column, hashed straight off
+    the column's UTF-8 data buffer via zero-copy memoryview slices -- no
+    per-row Python str materialization or re-encode. Arrow strings are valid
+    UTF-8 by construction, so the buffer bytes equal
+    `s.encode("utf-8")` (byte-identical to `sha256_hex` per element).
+    The loop body is a releasing-the-GIL C digest."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return pa.array([], pa.string())
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    mv = memoryview(arr.buffers()[2])
+    digests = [hashlib.sha256(mv[offs[i]:offs[i + 1]]).hexdigest()
+               for i in range(len(arr))]
+    if trunc is not None:
+        digests = [h[:trunc] for h in digests]
+    return pa.array(digests, pa.string())
+
+
 def fnv1a_fixed(strs, width: int = 130) -> np.ndarray:
     """Vectorized FNV-1a over an array of strings, truncated/NUL-padded to
     `width` bytes (loop over byte columns, not rows). Exact for strings up to

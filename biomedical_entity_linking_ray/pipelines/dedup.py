@@ -26,7 +26,6 @@ import ray.data
 from ray.data.aggregate import Min
 
 from biomedical_entity_linking_ray.functions import hashing
-from biomedical_entity_linking_ray.functions.ids import content_sha_of
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
@@ -49,8 +48,8 @@ def exact_dedup(sf_dir: str, broadcast_max: int = 500_000) -> "ray.data.Dataset"
     from biomedical_entity_linking_ray.functions.joins import cached_broadcast, hash_join
 
     def add_sha(t: pa.Table) -> pa.Table:
-        shas = [content_sha_of(s) for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "sha": pa.array(shas, pa.string())})
+        return pa.table({"doc_id": t["doc_id"],
+                         "sha": hashing.sha256_hex_batch(t["text"])})
 
     keyed = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_sha, batch_format="pyarrow", batch_size=4096
@@ -636,11 +635,10 @@ def novel_documents(
     from biomedical_entity_linking_ray.functions.joins import bloom_anti_join
 
     def with_sha(t: pa.Table) -> pa.Table:
-        sha = [content_sha_of(s) for s in t["text"].to_pylist()]
         return pa.table({
             "doc_id": t["doc_id"], "lang": t["lang"],
             "n_chars": t["n_chars"],
-            "sha": pa.array(sha, pa.string()),
+            "sha": hashing.sha256_hex_batch(t["text"]),
         })
 
     docs = _read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).map_batches(
@@ -801,23 +799,22 @@ def _segment_lists(texts: pa.ChunkedArray | pa.Array, window: int | None,
     new_offs = np.empty(total + 1, dtype=np.int64)
     new_offs[0] = 0
     np.cumsum(sizes, out=new_offs[1:])
-    # int32 offsets: a batch's flattened word count stays < 2^31 (batch_size
-    # bounds docs/batch; blocks are ~128 MB)
-    la = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), flat)
-    return pc.binary_join(la, " "), n_parts
+    # int64 offsets (LargeListArray): a batch whose flattened word count
+    # reaches 2^31 would overflow int32 list offsets, and the rebuild passes
+    # run under Ray's default batch size, not the segment-side 2048
+    la = pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()),
+                                       flat.cast(pa.large_string()))
+    joined = pc.binary_join(la, pa.scalar(" ", pa.large_string()))
+    return joined.cast(pa.string()), n_parts
 
 
-def _part_keys(paras: pa.Array) -> list[str]:
+def _part_keys(paras: pa.Array) -> pa.Array:
     """128-bit content key per part: sha256 hex truncated to 32 chars.
 
     Exact-equality key (collision odds ~2^-64 at 10^12 parts); half the
-    shuffle width of full sha hex. C digest per element -- the only
-    non-vectorized work in the segment stage, same cost shape as
-    exact_dedup's content_sha_of."""
-    import hashlib
-
-    return [hashlib.sha256(p.encode("utf-8", "surrogatepass")).hexdigest()[:32]
-            for p in paras.to_pylist()]
+    shuffle width of full sha hex. Digests run straight off the Arrow UTF-8
+    buffer (hashing.sha256_hex_batch) -- no per-row Python str."""
+    return hashing.sha256_hex_batch(paras, trunc=32)
 
 
 def paragraph_dedup(
@@ -868,7 +865,7 @@ def paragraph_dedup(
         packed = np.char.add(hashing.hex16_batch(rep_ids.astype(np.uint64)),
                              _hex8(idx))
         return pa.table({
-            "k": pa.array(_part_keys(paras), pa.string()),
+            "k": _part_keys(paras),
             "pos": pa.array(packed, pa.string()),
         })
 
@@ -920,7 +917,8 @@ def paragraph_dedup(
                     for d in t["doc_id"].to_numpy(zero_copy_only=False)]
             return rebuild(t, rows)
 
-        return docs.map_batches(attach, batch_format="pyarrow")
+        return docs.map_batches(attach, batch_format="pyarrow",
+                                batch_size=2048)
 
     # Acero (Ray's hash-join backend) rejects list-typed payload columns:
     # csv-encode the kept indices through the join, decode map-side after.
@@ -939,7 +937,8 @@ def paragraph_dedup(
                 for k in t["kept_csv"].to_pylist()]
         return rebuild(t.select(["doc_id", "text"]), rows)
 
-    return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow",
+                              batch_size=2048)
 
 
 # ---------------------------------------------------------------------------
@@ -1024,7 +1023,7 @@ def substring_dedup(
     def gram_occ(t: pa.Table) -> pa.Table:
         doc_rep, i_idx, grams = _gram_occurrences(t, n)
         return pa.table({
-            "k": pa.array(_part_keys(grams), pa.string()),
+            "k": _part_keys(grams),
             "pos": pa.array(_packed(doc_rep, i_idx), pa.string()),
             "doc_id": pa.array(doc_rep, pa.int64()),
             "i": pa.array(i_idx, pa.int64()),
@@ -1127,7 +1126,8 @@ def substring_dedup(
                     for d in t["doc_id"].to_numpy(zero_copy_only=False)]
             return rebuild(t, [set(r) for r in rows])
 
-        return docs.map_batches(scrub, batch_format="pyarrow")
+        return docs.map_batches(scrub, batch_format="pyarrow",
+                                batch_size=2048)
 
     def enc(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1144,7 +1144,8 @@ def substring_dedup(
                 for c in t["cov_csv"].to_pylist()]
         return rebuild(t.select(["doc_id", "text"]), rows)
 
-    return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow",
+                              batch_size=2048)
 
 
 # ---------------------------------------------------------------------------

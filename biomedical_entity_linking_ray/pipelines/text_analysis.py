@@ -611,10 +611,24 @@ def quality_percentiles(sf_dir: str) -> "ray.data.Dataset":
     ref = _ray.put(pct_of)
 
     def attach(t: pa.Table) -> pa.Table:
+        # every (lang, quality_q4) the attach scan sees MUST be in the counts
+        # map: both passes read the same materialized `scored` dataset
+        # (_scored_with_lang caches/materializes), so a miss means the two
+        # passes diverged -- fail loudly rather than emit a wrong percentile
         m = cached_broadcast(ref)
         langs = t["lang"].to_pylist()
         q4 = t["quality_q4"].to_numpy(zero_copy_only=False)
-        pct = np.fromiter((m[(langs[i], int(q4[i]))] for i in range(len(q4))),
+
+        def look(i: int) -> int:
+            key = (langs[i], int(q4[i]))
+            got = m.get(key)
+            if got is None:
+                raise KeyError(
+                    f"quality_percentiles: {key} absent from the rank table; "
+                    "the attach scan diverged from the counts pass")
+            return got
+
+        pct = np.fromiter((look(i) for i in range(len(q4))),
                           dtype=np.int64, count=len(q4))
         return t.append_column("pct_q4", pa.array(pct, pa.int64()))
 
