@@ -92,18 +92,38 @@ def run_bench() -> dict:
     _rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 2).map_batches(
         lambda b: b).count()
 
+    # median-of-N per query (default 3): this shared-host VM carries up to
+    # ~40% run-to-run noise, so single samples made round-over-round
+    # comparison need prose caveats; medians + mins make BENCH files
+    # self-describing. The headline value is the SUM OF MEDIANS.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    import statistics
+
+    timings_min: dict[str, float] = {}
     total_t0 = time.time()
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        rows[name] = _consume(qs[name](SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - total_t0, 3)
+        samples = []
+        for _ in range(reps):
+            # the linkage entries memoize per sf_dir -- clear so every rep
+            # runs the real pipeline, not a cache hit
+            ent._LINKAGE_CACHE.clear()
+            ent._PLANTED_CACHE.clear()
+            t0 = time.time()
+            rows[name] = _consume(qs[name](SF_DIR))
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        timings_min[name] = round(min(samples), 3)
+    wall = round(time.time() - total_t0, 3)
 
     out = {
-        "metric": "headline pipelines wall time (linkage + operator battery)",
-        "value": total,
+        "metric": "headline pipelines wall time (linkage + operator battery; "
+                  "sum of per-query medians)",
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "reps": reps,
+        "wall_all_reps": wall,
         "rows": rows,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
