@@ -247,6 +247,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             to_feat, batch_format="pyarrow")
         return relabel_canonical(assignments, feats, policy="max_tokens")
 
+    def abbrev_detect(sf_dir: str):
+        """Abbreviation-dictionary GENERATION (ref solve_abbreviations.py:
+        41-96, the external Ab3P step) re-expressed in-engine via the public
+        Schwartz-Hearst algorithm: a corpus with planted 'long form (SF)'
+        patterns is derived from documents.doc_id in closed form, the REAL
+        detector runs over it, and SQL predicts the exact (doc, SF, LF) rows."""
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from biomedical_entity_linking_ray.stages.extraction import detect_abbreviations
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            texts = []
+            for i in ids:
+                m = int(i) % 3
+                if m == 0:
+                    texts.append("study of heat shock transcription factor "
+                                 f"(HSTF) in sample {i}")
+                elif m == 1:
+                    texts.append("the ras guanine nucleotide exchange factor "
+                                 f"(GEF) variant {i} acts")
+                else:
+                    texts.append(f"plain text {i} with no parenthesized forms")
+            return pa.table({"doc_id": t["doc_id"],
+                             "text": pa.array(texts, pa.string())})
+
+        return detect_abbreviations(docs.map_batches(plant, batch_format="pyarrow"))
+
+    def abbrev_dict(sf_dir: str):
+        """Ab3P raw-output reader cascade end to end (ref
+        abbreviations_utils.py:76-120): a synthetic raw_abbreviations.txt is
+        derived deterministically from documents.doc_id (driver-side input
+        prep, cached per sf dir), then read_ab3p runs the real block parse +
+        confidence>0.95 filter. SQL rebuilds the surviving rows closed-form."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from biomedical_entity_linking_ray.sources.readers import read_ab3p
+
+        base = os.path.basename(os.path.normpath(sf_dir))
+        d = f"/tmp/bel_ab3p_{base}"
+        done = os.path.join(d, ".done")
+        if not os.path.exists(done):
+            os.makedirs(d, exist_ok=True)
+            ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id"])["doc_id"].to_pylist()
+            with open(os.path.join(d, "raw_abbreviations.txt"), "w") as f:
+                blocks = []
+                for i in sorted(int(x) for x in ids):
+                    lines = [f"{i} | document text {i}"]
+                    lines.append(f"  S{i % 7}|long {i}|"
+                                 f"{'0.99' if i % 2 == 0 else '0.90'}")
+                    lines.append(f"  T{i % 3}|term {i // 2}|"
+                                 f"{'0.97' if i % 3 == 0 else '0.50'}")
+                    blocks.append("\n".join(lines))
+                f.write("\n\n".join(blocks) + "\n")
+            with open(done, "w") as f:
+                f.write("ok")
+
+        return read_ab3p(os.path.join(d, "raw_abbreviations.txt"))
+
     def _eval_preds(sf_dir: str):
         """Synthetic per-mention hit_index table for the A7 report queries:
         mention = document, type = lang, hit_index derived in closed form
@@ -324,6 +392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- per-type evaluation report (A7: crosstab / chi2 / P@k / MAP@k) ---
         "eval_crosstab": eval_crosstab,
         "eval_precision_at_k": eval_precision_at_k,
+        # --- abbreviation-dictionary generation (ref Ab3P step) ---
+        "abbrev_detect": abbrev_detect,
+        "abbrev_dict": abbrev_dict,
         # --- similarity search over embeddings ---
         "knn_bruteforce": similarity.knn_bruteforce,
         # metadata-filtered vector search (label < 5 pushed into the scan)
@@ -1384,6 +1455,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cluster_id, count(*) AS "size", count(DISTINCT lang) AS n_langs
         FROM asn GROUP BY cluster_id HAVING count(*) >= 2
+    """
+    # Abbreviation-generation oracles. abbrev_detect: the planted corpus is a
+    # pure function of doc_id % 3 and the Schwartz-Hearst result on each
+    # planted pattern is a constant, so SQL emits the expected rows directly
+    # -- a missed candidate, broken right-to-left match or wrong word-boundary
+    # trim all surface as value mismatches. abbrev_dict: SQL rebuilds the
+    # synthetic Ab3P blocks (two lines per doc, confidence > 0.95 filter).
+    out["abbrev_detect"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'HSTF' ELSE 'GEF' END
+                   AS short_form,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'heat shock transcription factor'
+                    ELSE 'guanine nucleotide exchange factor' END AS long_form
+        FROM documents WHERE doc_id % 3 != 2
+    """
+    out["abbrev_dict"] = """
+        WITH l1 AS (
+          SELECT doc_id AS i, 'S' || (doc_id % 7)::VARCHAR AS short_form,
+                 'long ' || doc_id::VARCHAR AS long_form,
+                 0.99::DOUBLE AS confidence
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        l2 AS (
+          SELECT doc_id AS i, 'T' || (doc_id % 3)::VARCHAR AS short_form,
+                 'term ' || (doc_id // 2)::VARCHAR AS long_form,
+                 0.97::DOUBLE AS confidence
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT CAST(i AS VARCHAR) AS doc_id, short_form, long_form, confidence
+        FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
     """
     # A7 report oracles: the synthetic hit_index rule is rebuilt in closed
     # form ((doc_id * 2654435761) % 97 bucketed), then the per-type counts,

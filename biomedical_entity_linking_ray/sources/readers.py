@@ -373,3 +373,42 @@ def read_umls(umls_dir: str, lang: str = "ENG") -> "ray.data.Dataset":
         .groupby("__bucket")
         .map_groups(agg_cui, batch_format="pandas")
     )
+
+
+def read_ab3p(paths: str | list[str], min_confidence: float = 0.95) -> "ray.data.Dataset":
+    """Ab3P raw-abbreviation output -> (doc_id, short_form, long_form,
+    confidence) rows, confidence-filtered.
+
+    Reference analog: the abbreviation-dictionary GENERATION step
+    (bioel/bioel/utils/solve_abbreviation/solve_abbreviations.py:41-96 drives
+    the external Ab3P binary; abbreviations_utils.py:76-120 parses its
+    output). The binary's format is blank-line-separated blocks:
+    a ``pmid | document text`` header line followed by one
+    ``  short|long|confidence`` line per detected abbreviation. The parse +
+    ``confidence > cutoff`` filter + dict assembly is re-expressed as a
+    file-parallel flat_map (block boundaries never straddle tasks because
+    whole files are read); `resolve_abbreviations` (M4) consumes the result.
+    """
+
+    def parse_file(row: dict) -> list[dict]:
+        text = row["bytes"].decode("utf-8", "replace")
+        out = []
+        for block in text.split("\n\n"):
+            block = block.strip()
+            if not block:
+                continue
+            lines = block.splitlines()
+            doc_id = lines[0].split("|")[0].strip()
+            for line in lines[1:]:
+                parts = line.strip().split("|")
+                if len(parts) != 3:
+                    continue
+                conf = float(parts[2])
+                if conf > min_confidence:
+                    out.append({"doc_id": doc_id,
+                                "short_form": parts[0].strip(),
+                                "long_form": parts[1].strip(),
+                                "confidence": conf})
+        return out
+
+    return ray.data.read_binary_files(paths).flat_map(parse_file)

@@ -253,3 +253,80 @@ def filter_overlapping_spans(
 
     return spans.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(sweep, batch_format="pandas")
+
+
+_PAREN_SF = None  # compiled lazily (workers import this module independently)
+
+
+def _sh_long_form(short: str, before: str) -> str | None:
+    """Schwartz & Hearst 2003 best-long-form search (the algorithm the
+    reference outsources to the Ab3P binary, solve_abbreviations.py:41-96 --
+    here the standard published procedure, implemented directly): scan the
+    short form right-to-left through the text preceding the '(',  requiring
+    the FIRST short-form character to match at the start of a word; the long
+    form is the suffix beginning at the word containing that first match."""
+    s_idx = len(short) - 1
+    l_idx = len(before) - 1
+    while s_idx >= 0:
+        c = short[s_idx].lower()
+        if not c.isalnum():
+            s_idx -= 1
+            continue
+        while l_idx >= 0 and (
+            before[l_idx].lower() != c
+            or (s_idx == 0 and l_idx > 0 and before[l_idx - 1].isalnum())
+        ):
+            l_idx -= 1
+        if l_idx < 0:
+            return None
+        l_idx -= 1
+        s_idx -= 1
+    lf = before[l_idx + 1:].strip()
+    return lf or None
+
+
+def detect_abbreviations(
+    docs: "ray.data.Dataset", text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, short_form, long_form): parenthesized-abbreviation detection
+    over a document table -- the in-engine replacement for the reference's
+    external Ab3P step (solve_abbreviations.py:41-96), using the public
+    Schwartz-Hearst algorithm.
+
+    Candidate = '(SF)' where SF is 2-10 chars, starts alphanumeric, contains
+    an uppercase letter and is not purely digits; the long-form window is the
+    min(|SF| + 5, |SF| * 2) words before the '(' (the S&H window rule), and
+    the match must consume the window per `_sh_long_form`. Stateless
+    map_batches; the regex scan + per-candidate matcher touch only the
+    sparse candidate set, not every token."""
+    import re
+
+    global _PAREN_SF
+    if _PAREN_SF is None:
+        _PAREN_SF = re.compile(r"\(([A-Za-z0-9][A-Za-z0-9\-\.]{1,9})\)")
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, sfs, lfs = [], [], []
+        doc_ids = t["doc_id"].to_pylist()
+        for d, text in zip(doc_ids, t[text_col].to_pylist()):
+            for m in _PAREN_SF.finditer(text):
+                sf = m.group(1)
+                if sf.isdigit() or not any(ch.isupper() for ch in sf):
+                    continue
+                words = text[:m.start()].split()
+                if not words:
+                    continue
+                window = words[-min(len(sf) + 5, len(sf) * 2):]
+                lf = _sh_long_form(sf, " ".join(window))
+                if lf is not None and len(lf.split()) <= len(window):
+                    ids.append(d)
+                    sfs.append(sf)
+                    lfs.append(lf)
+        id_type = t.schema.field("doc_id").type
+        return pa.table({
+            "doc_id": pa.array(ids, id_type),
+            "short_form": pa.array(sfs, pa.string()),
+            "long_form": pa.array(lfs, pa.string()),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow", batch_size=2048)

@@ -57,6 +57,7 @@ def _assert_matches_oracle(name: str, con):
     "shuffle_shards", "events_sample_k", "knn_filtered", "simhash_dedup",
     "near_dup_triangles", "quality_percentiles", "top_tokens_by_lang",
     "ngram_dedup", "eval_crosstab", "eval_precision_at_k",
+    "abbrev_detect", "abbrev_dict",
 ])
 def test_query_matches_oracle(name, con):
     _assert_matches_oracle(name, con)

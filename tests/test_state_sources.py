@@ -136,3 +136,53 @@ def test_read_umls_composite(tmp_path):
     assert list(out["aliases"][0]) == ["a name", "b name"]
     assert list(out["aliases"][1]) == []
     assert list(out["num_aliases"]) == [2, 0]
+
+
+def test_read_ab3p_blocks(tmp_path):
+    """Block parse + confidence filter of the Ab3P raw format (S-family:
+    ref abbreviations_utils.py:76-120)."""
+    from biomedical_entity_linking_ray.sources.readers import read_ab3p
+
+    p = tmp_path / "raw_abbreviations.txt"
+    p.write_text(
+        "101 | some doc text\n"
+        "  HSTF|heat shock transcription factor|0.999\n"
+        "  LOW|too uncertain|0.40\n"
+        "\n"
+        "202 | another doc | with a pipe in text\n"
+        "  GEF|guanine nucleotide exchange factor|0.97\n"
+        "\n"
+        "303 | doc with no abbreviations\n"
+    )
+    df = read_ab3p(str(p)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == ["101", "202"]
+    assert df["short_form"].tolist() == ["HSTF", "GEF"]
+    assert df["confidence"].tolist() == [0.999, 0.97]
+
+
+def test_detect_abbreviations_schwartz_hearst():
+    """S&H detector: positive matches, window-bound rejection, digit/case
+    candidate gating, empty-prefix guard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biomedical_entity_linking_ray.stages.extraction import detect_abbreviations
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            "study of heat shock transcription factor (HSTF) in mice",
+            "the ras guanine nucleotide exchange factor (GEF) acts",
+            "unrelated words only here (XYZ) nothing matches",
+            "numbers are not candidates (123) at all",
+            "lowercase forms are skipped (abc) too",
+            "(SF) leading paren has no long-form window",
+        ]),
+    }))
+    df = detect_abbreviations(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert df["doc_id"].tolist() == [1, 2]
+    assert df["long_form"].tolist() == [
+        "heat shock transcription factor",
+        "guanine nucleotide exchange factor",
+    ]
