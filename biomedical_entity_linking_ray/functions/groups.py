@@ -109,3 +109,123 @@ def bucketed_distinct(
         .groupby("__bucket")
         .map_groups(uniq, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Disk-exchange aggregation (the shuffle-spill-free path for the job's
+# largest all-to-all)
+# ---------------------------------------------------------------------------
+
+def parquet_exchange_write(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    spill_dir: str,
+    n_buckets: int | None = None,
+    coalesce_blocks: int | None = None,
+) -> int:
+    """Complete hash-partition of `ds` by `keys` into `n_buckets` Parquet
+    directories (``spill_dir/__bucket=i/``) -- the map side of an EXTERNAL
+    shuffle whose exchange medium is compressed Parquet on disk instead of
+    the object store's raw-Arrow spill files.
+
+    Why: a sort-based ``groupby`` shuffle spills ~2-3x the (uncompressed)
+    stream volume through the object store; measured on the flagship's
+    scored-pair dedup that exceeds this sandbox's disk above ~700 k input
+    rows (BASELINE.md round-3 disk-headroom finding). Pair rows are
+    id-string/float columns that compress ~5x in Parquet, and the exchange
+    write is the ONLY copy -- the reduce side reads each bucket directory
+    directly, so the all-to-all never enters the object store.
+
+    Partitioning contract: every row of one key group lands in exactly one
+    bucket directory (hash of the key columns), so per-bucket aggregation is
+    complete -- the same distributive-agg argument as `bucketed_aggregate`.
+    Sizing contract: one bucket (~N/n_buckets rows) must fit a reduce task's
+    heap; n_buckets defaults to the cluster-derived `default_buckets()` so
+    per-bucket volume stays flat as the cluster grows with the data. Shuffle
+    files number ``write_tasks x n_buckets`` (the classic map-side layout);
+    `coalesce_blocks` (default 2x CPUs) compacts the writer fan-in first so
+    small corpora don't scatter thousands of tiny files.
+
+    The caller owns `spill_dir` freshness (Parquet writes APPEND; pass a
+    fresh or wiped directory).
+    """
+    from biomedical_entity_linking_ray.config import default_buckets
+
+    n_buckets = n_buckets or default_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(keys).to_pandas()
+        return t.append_column("__bucket", pa.array(_bucket_of(df, n_buckets)))
+
+    if coalesce_blocks is None:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+        coalesce_blocks = cpus * 2
+    try:
+        nb = ds.num_blocks()
+    except NotImplementedError:
+        nb = None  # lazy input: block count unknowable without executing
+    if nb is None or nb > coalesce_blocks * 2:
+        # split/coalesce repartition (no sort): one streaming pass that caps
+        # writer fan-in so shuffle-file count stays ~coalesce_blocks x buckets
+        # (a lazy upstream -- e.g. a groupby's reduce output -- can carry
+        # hundreds of blocks, and each write task emits one file per bucket)
+        ds = ds.repartition(coalesce_blocks)
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        spill_dir, partition_cols=["__bucket"])
+    return n_buckets
+
+
+def parquet_exchange_aggregate(
+    spill_dir: str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    pre_filter: tuple[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Reduce side of `parquet_exchange_write`: one task per bucket directory
+    reads ONLY its partition and runs a vectorized pandas groupby -- no
+    object-store exchange at all (the Parquet write WAS the shuffle). Several
+    reduces may consume one exchange (e.g. pair-dedup and star-dedup both key
+    on (id_a, id_b)); `pre_filter=(col, value)` selects the relevant rows at
+    the Parquet scan. Returns an empty-but-typed Dataset when the exchange
+    produced no rows.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    bucket_dirs = sorted(_glob.glob(_os.path.join(spill_dir, "__bucket=*")))
+
+    def agg_dir(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for d in batch["dir"]:
+            dset = pads.dataset(d, format="parquet")
+            flt = None
+            if pre_filter is not None:
+                flt = pads.field(pre_filter[0]) == pre_filter[1]
+            cols = None  # all columns minus partition col (not in files)
+            t = dset.to_table(filter=flt, columns=cols)
+            if t.num_rows:
+                frames.append(t.to_pandas())
+        if not frames:
+            return pd.DataFrame()  # dropped by Ray (zero-row batch)
+        g = pd.concat(frames, ignore_index=True)
+        if drop:
+            g = g.drop(columns=[c for c in drop if c in g.columns])
+        named = {}
+        for out, (col, fn) in aggs.items():
+            named[out] = (col, "size" if fn == "count" else fn)
+        return g.groupby(keys, as_index=False).agg(**named)
+
+    if not bucket_dirs:
+        cols = {k: pd.Series(dtype=object) for k in keys}
+        for out in aggs:
+            cols[out] = pd.Series(dtype=object)
+        return ray.data.from_pandas(pd.DataFrame(cols))
+    return ray.data.from_items(
+        [{"dir": d} for d in bucket_dirs]
+    ).map_batches(agg_dir, batch_format="pandas", batch_size=1, num_cpus=1)

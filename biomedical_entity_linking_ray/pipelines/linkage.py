@@ -190,21 +190,39 @@ def run_linkage(
         stars = ckpt.read_stage("s5_stars")
         cc_edges = stars
     else:
+        # Checkpointed (large) runs route the scored-pair/star dedup through
+        # the Parquet disk exchange: the tagged stream -- the job's largest
+        # all-to-all -- lands compressed on disk exactly once and is reduced
+        # per bucket directory, instead of pinning raw Arrow in the object
+        # store and paying the groupby sort's 2-3x shuffle spill (the
+        # round-3 disk-headroom finding, BASELINE.md).
+        spill = None
+        if checkpoint_root is not None:
+            import shutil as _shutil
+
+            spill = _os.path.join(checkpoint_root, "s3_exchange")
+            _shutil.rmtree(spill, ignore_errors=True)
         blocks_dd = fused_scoring.dedup_blocks_by_memberset(block_rows, cfg)
         if n_reps <= cfg.broadcast_side_max:
             feats_ref = ray.put(
                 reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
                 .to_pandas())
             scored, stars, stars_raw = fused_scoring.score_blocks(
-                blocks_dd, cfg, feats_ref=feats_ref)
+                blocks_dd, cfg, feats_ref=feats_ref, spill_dir=spill)
         else:
             enriched = fused_scoring.enrich_block_rows(blocks_dd, reps, cfg)
-            scored, stars, stars_raw = fused_scoring.score_blocks(enriched, cfg)
+            scored, stars, stars_raw = fused_scoring.score_blocks(
+                enriched, cfg, spill_dir=spill)
         if ckpt is not None:
+            scored_m = scored.materialize()  # one reduce run feeds write + count
             scored = ckpt.write_stage(
-                "s4_scored", scored.materialize(), {"pairs_scored": scored.count()})
+                "s4_scored", scored_m, {"pairs_scored": scored_m.count()})
             stars = ckpt.write_stage("s5_stars", stars, {})
             cc_edges = stars  # resumable deduped artifact feeds CC
+            if spill is not None:
+                # both dedup consumers are durable Parquet now; the exchange
+                # dir is scratch -- reclaim it (it is the run's largest file)
+                _shutil.rmtree(spill, ignore_errors=True)
         else:
             # union-find ignores duplicate edges, so CC reads the raw star
             # stream and the dedup shuffle never runs on the critical path

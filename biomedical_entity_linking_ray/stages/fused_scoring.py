@@ -158,6 +158,7 @@ def _empty_out() -> pa.Table:
 
 def score_blocks(
     rows: "ray.data.Dataset", cfg: LinkageConfig, feats_ref=None,
+    spill_dir: str | None = None,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset", "ray.data.Dataset"]:
     """One bucketed shuffle -> (scored_pairs, star_edges, raw_star_edges).
 
@@ -403,10 +404,34 @@ def score_blocks(
 
     tagged = coarse.groupby("__coarse").map_groups(
         score_bucket, batch_format="pyarrow"
-    ).materialize()
-    if _prof:
-        print(tagged.stats(), flush=True)
-    if tagged.count() == 0:
+    )
+    empty = False
+    if spill_dir is not None:
+        # disk-exchange path (the large-run envelope): the tagged pair/star
+        # stream lands ONCE as Parquet hash-partitioned on the dedup key
+        # (id_a, id_b) -- ~5x smaller than the raw-Arrow object-store pin --
+        # and the dedup "shuffle" becomes per-bucket-directory reduces that
+        # never enter the object store. See parquet_exchange_write for the
+        # sizing/partitioning contract and BASELINE.md for the disk-headroom
+        # measurement that motivates it.
+        from biomedical_entity_linking_ray.config import default_buckets
+        from biomedical_entity_linking_ray.functions.groups import (
+            parquet_exchange_aggregate, parquet_exchange_write)
+
+        # B = cpus*4: per-bucket reduce volume ~N/B stays flat as the cluster
+        # grows with the data; file fan-out = write_tasks x B (see
+        # parquet_exchange_write sizing note)
+        parquet_exchange_write(tagged, ["id_a", "id_b"], spill_dir,
+                               n_buckets=default_buckets(per_cpu=4))
+        import glob as _glob
+
+        empty = not _glob.glob(_os.path.join(spill_dir, "__bucket=*"))
+    else:
+        tagged = tagged.materialize()
+        if _prof:
+            print(tagged.stats(), flush=True)
+        empty = tagged.count() == 0
+    if empty:
         # every surviving block was singleton-free of pairs: typed empties
         # (a schema-less empty dataset would poison the filters below)
         from biomedical_entity_linking_ray.stages.scoring import EMPTY_SCORED
@@ -419,13 +444,30 @@ def score_blocks(
         return empty_scored, empty_stars, empty_stars
 
     P4 = n_coarse
+    _pair_aggs = {
+        "block_key": ("block_key", "min"), "score_jw": ("score_jw", "max"),
+        "score_jaccard": ("score_jaccard", "max"),
+        "score_cosine": ("score_cosine", "max"), "score": ("score", "max"),
+    }
+    if spill_dir is not None:
+        from biomedical_entity_linking_ray.stages.scoring import EMPTY_SCORED
+
+        scored = (parquet_exchange_aggregate(
+            spill_dir, ["id_a", "id_b"], _pair_aggs, pre_filter=("kind", "p"))
+            if emit_pairs else ray.data.from_arrow(EMPTY_SCORED))
+        stars = parquet_exchange_aggregate(
+            spill_dir, ["id_a", "id_b"], {"block_key": ("block_key", "min")},
+            pre_filter=("kind", "s"))
+        stars_raw = ray.data.read_parquet(spill_dir).filter(
+            expr="kind == 's'").map_batches(
+            lambda t: t.select(["id_a", "id_b", "block_key"]),
+            batch_format="pyarrow",
+        )
+        return scored, stars, stars_raw
     if emit_pairs:
         scored = bucketed_aggregate(
             tagged.filter(expr="kind == 'p'"),
-            ["id_a", "id_b"],
-            {"block_key": ("block_key", "min"), "score_jw": ("score_jw", "max"),
-             "score_jaccard": ("score_jaccard", "max"),
-             "score_cosine": ("score_cosine", "max"), "score": ("score", "max")},
+            ["id_a", "id_b"], _pair_aggs,
             n_buckets=P4,
         )
     else:

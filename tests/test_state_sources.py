@@ -186,3 +186,63 @@ def test_detect_abbreviations_schwartz_hearst():
         "heat shock transcription factor",
         "guanine nucleotide exchange factor",
     ]
+
+
+def test_parquet_exchange_matches_objectstore_dedup(small_corpus, ckpt_root):
+    """Checkpointed runs route the scored-pair/star dedup through the Parquet
+    disk exchange (groups.parquet_exchange_*); every artifact must be
+    value-identical to the in-memory object-store path, and the scratch
+    exchange dir must be reclaimed once s4/s5 are durable."""
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+
+    cfg = LinkageConfig(salt_cap=32, join_partitions=4, scorer_concurrency=2)
+    files = rd.from_arrow(small_corpus.files)
+
+    def canon(ds, cols):
+        return ds.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+
+    pair_cols = ["id_a", "id_b", "block_key", "score_jw", "score_jaccard",
+                 "score_cosine", "score"]
+    mem = run_linkage(files, cfg)
+    root = os.path.join(ckpt_root, "run_exchange")
+    ck = run_linkage(files, cfg, checkpoint_root=root)
+    pd.testing.assert_frame_equal(
+        canon(mem.scored_pairs, pair_cols), canon(ck.scored_pairs, pair_cols))
+    pd.testing.assert_frame_equal(
+        canon(mem.star_edges, ["id_a", "id_b", "block_key"]),
+        canon(ck.star_edges, ["id_a", "id_b", "block_key"]))
+    pd.testing.assert_frame_equal(
+        canon(mem.assignments, ["file_id", "cluster_id"]),
+        canon(ck.assignments, ["file_id", "cluster_id"]))
+    assert not os.path.exists(os.path.join(root, "s3_exchange"))
+
+
+def test_parquet_exchange_aggregate_generic(tmp_path):
+    """parquet_exchange_write/aggregate vs a plain pandas groupby on random
+    keyed data -- the generic contract, independent of the flagship."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biomedical_entity_linking_ray.functions.groups import (
+        parquet_exchange_aggregate, parquet_exchange_write)
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k1": rng.choice([f"k{i}" for i in range(40)], n),
+        "k2": rng.randint(0, 5, n).astype(np.int64),
+        "v": rng.rand(n),
+        "w": rng.randint(0, 1000, n).astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    spill = str(tmp_path / "xchg")
+    parquet_exchange_write(ds, ["k1", "k2"], spill, n_buckets=7)
+    got = parquet_exchange_aggregate(
+        spill, ["k1", "k2"],
+        {"v_max": ("v", "max"), "w_min": ("w", "min"), "n": ("w", "count")},
+    ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = df.groupby(["k1", "k2"], as_index=False).agg(
+        v_max=("v", "max"), w_min=("w", "min"), n=("w", "size")
+    ).sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
