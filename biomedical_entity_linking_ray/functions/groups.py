@@ -166,11 +166,18 @@ def parquet_exchange_write(
         nb = ds.num_blocks()
     except NotImplementedError:
         nb = None  # lazy input: block count unknowable without executing
-    if nb is None or nb > coalesce_blocks * 2:
-        # split/coalesce repartition (no sort): one streaming pass that caps
-        # writer fan-in so shuffle-file count stays ~coalesce_blocks x buckets
-        # (a lazy upstream -- e.g. a groupby's reduce output -- can carry
-        # hundreds of blocks, and each write task emits one file per bucket)
+    if nb is not None and nb > coalesce_blocks * 2:
+        # materialized input with many small blocks: one split/coalesce pass
+        # (no sort) caps writer fan-in so shuffle-file count stays
+        # ~coalesce_blocks x buckets. A LAZY input streams straight into the
+        # partitioned write instead: repartitioning it would buffer the whole
+        # stream in the object store while the Parquet write also accumulates
+        # -- measured double-carry blew this sandbox's disk at 1.4 M rows /
+        # 2x10^8 pairs. The cost of streaming is file fan-out
+        # (upstream_blocks x n_buckets shuffle files, the classic MapReduce
+        # map-side layout); a DFS deployment absorbs that, and reduce tasks
+        # read whole bucket DIRECTORIES, so file count never affects
+        # correctness.
         ds = ds.repartition(coalesce_blocks)
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         spill_dir, partition_cols=["__bucket"])
