@@ -120,7 +120,7 @@ def effective_partitions(cfg: LinkageConfig) -> int:
     return max(cfg.join_partitions, cpus)
 
 
-def default_buckets(floor: int = 64, per_cpu: int = 16) -> int:
+def default_buckets(floor: int = 64, per_cpu: int = 4) -> int:
     """Cluster-derived group-stage fan-out for the standalone pipelines (no
     LinkageConfig): n_buckets = max(floor, CPUs * per_cpu).
 
@@ -128,7 +128,10 @@ def default_buckets(floor: int = 64, per_cpu: int = 16) -> int:
     makes per-task memory grow linearly with the corpus; scaling the bucket
     count with the cluster keeps it flat (the fused scorer already does this
     via effective_partitions(cfg) * 16 -- same shape here). Bucket count only
-    partitions work; results are invariant to it."""
+    partitions work; results are invariant to it. per_cpu=4 measured best at
+    bench scale (this Ray build pays ~2.5 ms per group: cpus*16 = 512 buckets
+    cost minhash_near_dup +1.4 s over 128 at sf0.1 with no benefit until
+    per-bucket volume actually pressures a task heap -- a knob, not a law)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4

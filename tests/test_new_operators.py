@@ -829,7 +829,7 @@ def test_default_buckets_tracks_cluster():
     from biomedical_entity_linking_ray.config import default_buckets
 
     cpus = int(ray.cluster_resources()["CPU"])
-    assert default_buckets() == max(64, cpus * 16)
+    assert default_buckets() == max(64, cpus * 4)
     assert default_buckets(floor=1, per_cpu=32) == max(1, cpus * 32)
     # explicit values still win (pipelines pass user overrides through)
     assert default_buckets(floor=10_000) == 10_000
