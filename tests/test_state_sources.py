@@ -246,3 +246,34 @@ def test_parquet_exchange_aggregate_generic(tmp_path):
         v_max=("v", "max"), w_min=("w", "min"), n=("w", "size")
     ).sort_values(["k1", "k2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_parquet_exchange_unicode_and_filter(tmp_path):
+    """Exchange correctness with unicode / empty-string keys (FNV prefix
+    hashing path) and the pre_filter split used by the pair/star dedup."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biomedical_entity_linking_ray.functions.groups import (
+        parquet_exchange_aggregate, parquet_exchange_write)
+
+    rng = np.random.RandomState(11)
+    keys = ["", "a", "clé", "ключ", "鍵", "k" * 200]  # includes > width=96 prefix
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.choice(keys, n),
+        "kind": rng.choice(["p", "s"], n),
+        "v": rng.rand(n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    spill = str(tmp_path / "xchg_u")
+    parquet_exchange_write(ds, ["k"], spill, n_buckets=3)
+    for kind in ["p", "s"]:
+        got = parquet_exchange_aggregate(
+            spill, ["k"], {"v_max": ("v", "max"), "n": ("v", "count")},
+            pre_filter=("kind", kind),
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        want = df[df["kind"] == kind].groupby("k", as_index=False).agg(
+            v_max=("v", "max"), n=("v", "size")
+        ).sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
