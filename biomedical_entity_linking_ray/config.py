@@ -90,9 +90,16 @@ class LinkageConfig:
     # Same policy for the small side of the contract / memberset / enrich
     # joins: under this row count the side is ray.put once and applied as a
     # vectorized per-batch lookup (no aggregator-actor fleet, no shuffle of
-    # the big side); beyond it the partitioned hash join runs. 500k rows of
-    # the widest side (enrich features, ~0.6 KB/row) is ~300 MB broadcast.
-    broadcast_side_max: int = 500_000
+    # the big side); beyond it the partitioned hash join runs. Sized from
+    # payload bytes vs a worker node's heap, not timidity: the widest side
+    # (scoring features -- path_norm + 256 B sig + tfvec) is ~1.3 KB/row, so
+    # 4 M rows is a ~5 GB broadcast -- comfortable on any >=64 GB node, and
+    # paying it beats the alternative by 20x: beyond the bound the enrich
+    # join replicates the payload once per exploded block row (~25x/rep)
+    # through the coarse shuffle -- measured ~100 GB of shuffle+spill at a
+    # 2.8 M-row corpus vs a 3.4 GB broadcast (BASELINE.md round 4). At true
+    # cluster scale (reps >> any node) the join path still engages.
+    broadcast_side_max: int = 4_000_000
 
     # --- physical execution ---
     batch_size: int = 1024       # rows per batch in feature stages
