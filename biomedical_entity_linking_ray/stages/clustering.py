@@ -132,13 +132,19 @@ def _driver_union_find(
     # singletons: within the driver-bounded fast path the labeled-node set is
     # small by construction -- broadcast it once and anti-filter per batch
     # (no join barrier); the distributed path below keeps the anti join
-    import pyarrow.compute as pc
+    import pandas as _pd
 
-    labeled_ref = ray.put(pa.array(uniq, pa.string()))
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    labeled_ref = ray.put(uniq)
 
     def anti(t: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(t["file_id"], value_set=ray.get(labeled_ref)))
-        t = t.filter(mask)
+        # pandas Index: hashtable built once per worker (pc.is_in would
+        # rebuild its value-set table on every batch -- quadratic-ish once
+        # the labeled set reaches millions of nodes)
+        ks = cached_broadcast(labeled_ref, transform=_pd.Index)
+        idx = ks.get_indexer(t["file_id"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(idx < 0))
         return pa.table({
             "file_id": t["file_id"], "cluster_id": t["file_id"],
             "canonical_id": t["file_id"],

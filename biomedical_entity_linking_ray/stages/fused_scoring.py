@@ -88,13 +88,19 @@ def dedup_blocks_by_memberset(
         return ray.data.from_arrow(pa.schema(
             [("block_key", pa.string()), ("file_id", pa.string())]).empty_table())
     if n_keys <= cfg.broadcast_side_max:
-        import pyarrow.compute as pc
+        import pandas as _pd
 
-        keys_ref = _ray.put(pa.array(rep_keys.to_pandas()["block_key"], pa.string()))
+        keys_ref = _ray.put(rep_keys.to_pandas()["block_key"].to_numpy())
 
         def semi(t: pa.Table) -> pa.Table:
-            ks = cached_broadcast(keys_ref)
-            return t.filter(pc.is_in(t["block_key"], value_set=ks))
+            # pc.is_in rebuilds its value-set hashtable on EVERY call -- at
+            # millions of rep keys that turned a semi filter into the job's
+            # slowest stage. A pandas Index builds the hashtable ONCE per
+            # worker (inside cached_broadcast's one-time transform, reused by
+            # its first get_indexer) and each batch pays only O(batch) probes.
+            ks = cached_broadcast(keys_ref, transform=_pd.Index)
+            idx = ks.get_indexer(t["block_key"].to_numpy(zero_copy_only=False))
+            return t.filter(pa.array(idx >= 0))
 
         return block_rows.map_batches(semi, batch_format="pyarrow")
     return hash_join(block_rows, rep_keys, "left_semi", P, on=("block_key",))
