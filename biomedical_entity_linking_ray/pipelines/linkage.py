@@ -249,14 +249,22 @@ def run_linkage(
     def build_assignments():
         if rep_assign.count() <= cfg.broadcast_labels_max:
             lab_df = rep_assign.select_columns(["file_id", "cluster_id"]).to_pandas()
-            lab_ref = ray.put(dict(zip(lab_df["file_id"], lab_df["cluster_id"])))
+            # two numpy arrays, not a python dict: a multi-million-entry dict
+            # costs seconds to unpickle PER WORKER; arrays deserialize as
+            # buffers and the Index hashtable builds once per worker
+            lab_ref = ray.put((lab_df["file_id"].to_numpy(),
+                               lab_df["cluster_id"].to_numpy()))
 
             def attach(t: pa.Table) -> pa.Table:
                 from biomedical_entity_linking_ray.functions.joins import cached_broadcast
 
-                lab = cached_broadcast(lab_ref)
-                reps_col = pd.Series(t["rep_id"].to_numpy(zero_copy_only=False))
-                cl = reps_col.map(lab).fillna(reps_col).to_numpy()
+                keys_idx, vals = cached_broadcast(
+                    lab_ref, transform=lambda kv: (pd.Index(kv[0]), kv[1]))
+                reps_col = t["rep_id"].to_numpy(zero_copy_only=False)
+                pos = keys_idx.get_indexer(reps_col)
+                import numpy as _np
+
+                cl = _np.where(pos >= 0, vals[_np.maximum(pos, 0)], reps_col)
                 return pa.table({
                     "file_id": t["file_id"], "cluster_id": pa.array(cl, pa.string()),
                     "canonical_id": pa.array(cl, pa.string()),
