@@ -84,6 +84,11 @@ def main() -> None:
                          "(resume-after-kill protocol)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--broadcast-side-max", type=int, default=None,
+                    help="override LinkageConfig.broadcast_side_max for runs "
+                         "where this node's heap comfortably holds a bigger "
+                         "feature broadcast than the conservative default "
+                         "(payload is ~1.3 KB/rep; see config.py)")
     args = ap.parse_args()
 
     import ray
@@ -118,7 +123,10 @@ def main() -> None:
     n_files = files.count()
     print(f"[corpus] rows={n_files}", flush=True)
 
-    lcfg = LinkageConfig(emit_scored_pairs=args.default_config)
+    kw = {"emit_scored_pairs": args.default_config}
+    if args.broadcast_side_max is not None:
+        kw["broadcast_side_max"] = args.broadcast_side_max
+    lcfg = LinkageConfig(**kw)
     t0 = time.time()
     res = run_linkage(files, lcfg, checkpoint_root=root)
     n, h = assignments_hash(res.assignments)
