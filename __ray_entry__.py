@@ -1539,11 +1539,15 @@ def oracle_sql() -> dict[str, str]:
             max(tot.r) - 1 AS dof
           FROM ct, tot
         )
-        SELECT ct.type, ct.n_mentions, ct.n_success, ct.n_hit_k,
-               ct.n_miss_cg, ct.n_miss_ned, ct.cg_hit,
-               ct.n_mentions - ct.cg_hit AS cg_miss,
-               ct.n_success AS ned_hit,
-               ct.n_mentions - ct.n_success AS ned_miss,
+        SELECT ct.type, ct.n_mentions,
+               ct.n_success::BIGINT AS n_success,
+               ct.n_hit_k::BIGINT AS n_hit_k,
+               ct.n_miss_cg::BIGINT AS n_miss_cg,
+               ct.n_miss_ned::BIGINT AS n_miss_ned,
+               ct.cg_hit::BIGINT AS cg_hit,
+               (ct.n_mentions - ct.cg_hit)::BIGINT AS cg_miss,
+               ct.n_success::BIGINT AS ned_hit,
+               (ct.n_mentions - ct.n_success)::BIGINT AS ned_miss,
                CAST(FLOOR(ct.n_success::DOUBLE / ct.n_mentions * 10000 + 0.5)
                     AS BIGINT) AS accuracy_q4,
                CAST(FLOOR(ct.n_hit_k::DOUBLE / ct.n_mentions * 10000 + 0.5)
