@@ -118,6 +118,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         shares that query's closed-form planted-corpus oracle."""
         return _planted_linkage_ao(sf_dir).assignments
 
+    def linkage_incremental(sf_dir: str):
+        """Incremental linkage lifecycle (pipelines/incremental.py): the
+        planted corpus splits into base = {v0,v1}xc0 (clustered first with
+        the batch flagship) and delta = v2 variants + c1 copies, linked
+        AGAINST the frozen base state -- delta-only content scan, map-side
+        touched-block discovery over stored rep sketches, rescoring of
+        touched blocks only, CC seeded with prior cluster edges. The result
+        must be value-identical to the batch run over base+delta, so it
+        shares linkage_assignments' closed-form planted-corpus oracle."""
+        from biomedical_entity_linking_ray.config import LinkageConfig
+        from biomedical_entity_linking_ray.pipelines.incremental import (
+            prior_from_result, run_linkage_incremental)
+        from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+        from biomedical_entity_linking_ray.synth import planted_files_from_docs
+
+        key = ("inc", sf_dir)
+        if key not in _PLANTED_CACHE:
+            files = planted_files_from_docs(sf_dir).materialize()
+            base = files.filter(
+                expr="commit == 'v0c0' or commit == 'v1c0'").materialize()
+            delta = files.filter(
+                expr="commit != 'v0c0' and commit != 'v1c0'").materialize()
+            prior = run_linkage(base, LinkageConfig())
+            _PLANTED_CACHE[key] = run_linkage_incremental(
+                delta, prior_from_result(prior), LinkageConfig())
+        return _PLANTED_CACHE[key].assignments
+
     def linkage_synth_assignments(sf_dir: str):
         """Default config over the adversarial synthetic files corpus (hot
         vendored block > salt_cap, hard negatives, cross-lang decoys) --
@@ -378,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # linkage_exact_docs: tau-above-ceiling config, sha-group oracle.
         "linkage_assignments": linkage_assignments,
         "linkage_assignments_only": linkage_assignments_only,
+        # incremental lifecycle: base clustered first, delta linked against
+        # the frozen prior -- must equal the batch run, same planted oracle
+        "linkage_incremental": linkage_incremental,
         "linkage_cluster_sizes": linkage_cluster_sizes,
         "linkage_synth_assignments": linkage_synth_assignments,
         "linkage_exact_docs": linkage_exact_docs,
@@ -1448,6 +1478,10 @@ def oracle_sql() -> dict[str, str]:
     # assignments-only mode must be cluster-identical to the default run, so
     # it shares the closed-form planted-corpus oracle verbatim
     out["linkage_assignments_only"] = out["linkage_assignments"]
+    # incremental(base, delta) must equal the batch run over base ∪ delta
+    # (no touched block crosses the pair-enumeration caps on this corpus),
+    # so it shares the same closed-form oracle verbatim
+    out["linkage_incremental"] = out["linkage_assignments"]
     out["linkage_cluster_sizes"] = _planted_files + """
         , asn AS (
           SELECT min(file_id) OVER (PARTITION BY d) AS cluster_id, 'txt' AS lang

@@ -1,0 +1,411 @@
+"""Incremental linkage: link a DELTA of new files against a previously
+clustered corpus without rescanning its content or re-clustering untouched
+rows.
+
+A production entity-resolution deployment at the 100 TB scale never re-runs
+the flagship over the whole corpus for each day's arrivals — it links the
+increment against frozen prior state. Per-increment cost here:
+
+- raw content is scanned for the DELTA only (stage i0);
+- the base corpus contributes three skinny MAP-ONLY passes — no shuffle ever
+  moves base rows the delta cannot affect: re-deriving block keys from the
+  stored rep features (i2, sketches only, content never re-read), member
+  lookup for touched reps (i4), and the untouched-assignment passthrough
+  (i6). Each pass filters map-side against a broadcast of a
+  delta-proportional key set (Bloom/semijoin fallback beyond the bound);
+- every shuffle (delta contraction, block scoring, connected components)
+  runs over delta-proportional tables: the touched blocks and the prior
+  clusters they intersect.
+
+Semantics (tested in tests/test_incremental.py):
+
+- **sticky reps** — a content_sha already present in the base keeps its
+  prior rep_id, so cluster identities are stable across increments and
+  known-content arrivals attach without rescoring anything;
+- **monotone connectivity** — prior matches are never lost; new edges come
+  from FULLY rescoring every block that a new-content delta rep lands in
+  (all its base and delta members, salted at their combined counts), plus
+  the prior cluster edges of every touched cluster;
+- **labels are min-file_id per connected component**, identical to the
+  batch pipeline, so ``incremental(base, delta) == run_linkage(base+delta)``
+  whenever blocking enumerates the same candidate pairs in both runs —
+  guaranteed when no touched block crosses ``all_pairs_max`` / ``salt_cap``
+  (pair windows and salt splits are membership-order dependent above those
+  caps; below them pair sets are exact). The planted-corpus driver query
+  `linkage_incremental` value-checks this equality against the same
+  closed-form SQL oracle as `linkage_assignments`.
+
+Reference analog: the reference's inference entry points resolve each NEW
+mention batch against a frozen prebuilt ontology index (bioel
+models/biencoder inference + krissbert predict: load index, embed queries,
+link) rather than retraining/rebuilding per batch — this pipeline is that
+lifecycle applied to the linkage corpus itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from biomedical_entity_linking_ray.config import (
+    DEFAULT_CONFIG, LinkageConfig, effective_partitions)
+from biomedical_entity_linking_ray.functions.groups import (
+    bucketed_aggregate, bucketed_distinct)
+from biomedical_entity_linking_ray.functions.joins import (
+    bloom_anti_join, bloom_semi_join, cached_broadcast, hash_join,
+    heal_projection)
+from biomedical_entity_linking_ray.stages import blocking, clustering, normalize
+from biomedical_entity_linking_ray.pipelines.linkage import _FULL_SCHEMA
+
+
+@dataclass
+class LinkagePrior:
+    """Frozen state of a prior `run_linkage` the increment links against.
+
+    Exactly the three artifacts a checkpointed run already lands: the rep
+    feature table (unique contents; sketches, no raw content), the
+    sha-contraction membership, and the final assignments."""
+
+    reps: "ray.data.Dataset"         # s1_reps: feature rows, file_id == rep_id
+    members: "ray.data.Dataset"      # s1_members: file_id, rep_id, lineage cols
+    assignments: "ray.data.Dataset"  # s7_assignments: _FULL_SCHEMA
+
+
+def prior_from_result(res) -> LinkagePrior:
+    """Prior state from an in-memory LinkageResult (same-session chaining)."""
+    return LinkagePrior(reps=res.reps, members=res.members,
+                        assignments=res.assignments)
+
+
+def prior_from_checkpoint(root: str, cfg: LinkageConfig = DEFAULT_CONFIG) -> LinkagePrior:
+    """Prior state from a `run_linkage(checkpoint_root=...)` directory — the
+    cross-session path: increments run against Parquet, nothing is pinned."""
+    from biomedical_entity_linking_ray.state.manifests import CheckpointedRun
+
+    ck = CheckpointedRun(root, cfg)
+    return LinkagePrior(
+        reps=ck.read_stage("s1_reps"),
+        members=ck.read_stage("s1_members"),
+        assignments=ck.read_stage("s7_assignments"),
+    )
+
+
+@dataclass
+class IncrementalResult:
+    assignments: "ray.data.Dataset"        # full corpus: untouched ∪ relabeled
+    delta_assignments: "ray.data.Dataset"  # the delta files' rows only
+    scored_pairs: "ray.data.Dataset"       # audit: pairs scored in touched blocks
+    stats: dict
+
+
+def _isin_filter(
+    ds: "ray.data.Dataset",
+    col: str,
+    values_ds: "ray.data.Dataset",
+    n_values: int,
+    cfg: LinkageConfig,
+    keep: bool = True,
+) -> "ray.data.Dataset":
+    """Map-side ``col [NOT] IN values`` filter.
+
+    The filter side here is always delta-proportional: under the broadcast
+    bound it ships once via ray.put and each worker builds ONE pandas Index
+    hashtable (O(batch) probes per batch — the fused_scoring semi-filter
+    shape); beyond the bound it falls back to the exact Bloom semi/anti join
+    (misses emitted map-side, only hits enter a shuffle)."""
+    if n_values == 0:
+        if keep:
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        return ds
+    if n_values <= cfg.broadcast_side_max:
+        vals = values_ds.to_pandas()[col].to_numpy()
+        ref = ray.put(vals)
+
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            idx = cached_broadcast(ref, transform=pd.Index)
+            pos = idx.get_indexer(t[col].to_numpy(zero_copy_only=False))
+            m = pos >= 0
+            return t.filter(pa.array(m if keep else ~m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+    P = effective_partitions(cfg)
+    fn = bloom_semi_join if keep else bloom_anti_join
+    return fn(ds, values_ds, col, col, num_partitions=P)
+
+
+def _rename2(ds: "ray.data.Dataset", cols: list[str], names: list[str]) -> "ray.data.Dataset":
+    """Project `cols` and rename to `names` (skinny, lazy)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({n: t[c] for c, n in zip(cols, names)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_EMPTY_BLOCKS = pa.schema(
+    [("block_key", pa.string()), ("file_id", pa.string())])
+
+
+def run_linkage_incremental(
+    new_files: "ray.data.Dataset",
+    prior: LinkagePrior,
+    cfg: LinkageConfig = DEFAULT_CONFIG,
+    feature_concurrency: int | None = None,
+) -> IncrementalResult:
+    """Link `new_files` (repo, path, commit, lang, content) against `prior`.
+
+    Returns the FULL updated assignment table (untouched prior rows pass
+    through as a map-side filtered scan — never shuffled) plus the
+    delta-only view and per-stage counts."""
+    from biomedical_entity_linking_ray.stages import fused_scoring, scoring
+
+    P = effective_partitions(cfg)
+    stats: dict = {}
+
+    # ---- i0: delta features — the ONLY content scan in the job -----------
+    dfeats = normalize.compute_features(
+        new_files, cfg, concurrency=feature_concurrency).materialize()
+    n_delta = dfeats.count()
+    stats["n_delta_files"] = n_delta
+    if n_delta == 0:
+        from biomedical_entity_linking_ray.stages import scoring as _scoring
+
+        empty = ray.data.from_arrow(_FULL_SCHEMA.empty_table())
+        return IncrementalResult(
+            prior.assignments, empty,
+            ray.data.from_arrow(_scoring.EMPTY_SCORED), stats)
+
+    # ---- i1: sticky contraction of the delta ------------------------------
+    # shas already in the base keep their prior rep (one skinny map-only pass
+    # over prior.reps filtered against the broadcast delta-sha set); new shas
+    # take min(delta file_id) — which IS min over base∪delta for a new sha.
+    delta_shas = bucketed_distinct(
+        dfeats.select_columns(["content_sha"]), ["content_sha"],
+        n_buckets=P,
+    ).materialize()
+    n_dsha = delta_shas.count()
+    base_matched = _isin_filter(
+        prior.reps.select_columns(["content_sha", "file_id"]),
+        "content_sha", delta_shas, n_dsha, cfg, keep=True,
+    )
+    base_matched = _rename2(
+        base_matched, ["content_sha", "file_id"], ["content_sha", "rep_id"],
+    ).materialize()
+    n_matched = base_matched.count()
+    stats["n_shas_matched_in_base"] = n_matched
+
+    delta_min = bucketed_aggregate(
+        dfeats.select_columns(["content_sha", "file_id"]),
+        ["content_sha"], {"rep_id": ("file_id", "min")}, n_buckets=P,
+    )
+    new_sha_rep = _isin_filter(
+        delta_min, "content_sha",
+        base_matched.select_columns(["content_sha"]), n_matched, cfg,
+        keep=False,
+    ).materialize()
+    n_new_shas = new_sha_rep.count()
+    stats["n_new_shas"] = n_new_shas
+    sha_rep = base_matched.union(new_sha_rep).materialize()
+
+    # attach rep_id onto the delta feature rows (contraction members shape);
+    # the sha→rep map is delta-proportional by construction, so the broadcast
+    # path is the common case (hash join beyond the bound, as exact_contract)
+    if n_dsha <= cfg.broadcast_side_max:
+        rep_ref = ray.put(sha_rep.to_pandas())
+
+        def attach_rep(t: pa.Table) -> pa.Table:
+            m = cached_broadcast(
+                rep_ref, lambda df: dict(zip(df["content_sha"], df["rep_id"])))
+            reps_col = [m[s] for s in t["content_sha"].to_pylist()]
+            return t.append_column("rep_id", pa.array(reps_col, pa.string()))
+
+        members_delta = dfeats.map_batches(
+            attach_rep, batch_format="pyarrow").materialize()
+    else:
+        members_delta = hash_join(
+            dfeats, sha_rep, "inner", P, on=("content_sha",)).materialize()
+
+    # feature rows of the NEW-content reps (these are the only rows that can
+    # create new blocks: known-content arrivals attach via i1 and change no
+    # block's membership under sticky reps)
+    new_rep_ids = new_sha_rep.select_columns(["rep_id"])
+    reps_delta_new = _isin_filter(
+        dfeats, "file_id",
+        _rename2(new_rep_ids, ["rep_id"], ["file_id"]), n_new_shas, cfg,
+        keep=True,
+    ).materialize()
+
+    # ---- i2: touched blocks ------------------------------------------------
+    # delta reps emit their block keys; base block rows are re-derived from
+    # the STORED rep features (map-only, sketches not content) and filtered
+    # map-side to the touched key set before anything shuffles.
+    if n_new_shas > 0:
+        delta_keys = blocking.emit_block_keys(reps_delta_new, cfg).materialize()
+        dkeys = bucketed_distinct(
+            delta_keys.select_columns(["block_key"]), ["block_key"],
+            n_buckets=P,
+        ).materialize()
+        n_dkeys = dkeys.count()
+        base_touched = _isin_filter(
+            blocking.emit_block_keys(prior.reps, cfg),
+            "block_key", dkeys, n_dkeys, cfg, keep=True,
+        )
+        block_rows = blocking.salt_hot_keys(
+            base_touched.union(delta_keys).materialize(), cfg)
+        # combined counts == the batch run's counts for these keys, so the
+        # salt split matches a full rerun wherever salting binds at all
+    else:
+        n_dkeys = 0
+        block_rows = ray.data.from_arrow(_EMPTY_BLOCKS.empty_table())
+    stats["n_touched_block_keys"] = n_dkeys
+
+    # ---- i3: score touched blocks (the flagship's fused path) -------------
+    n_block_rows = block_rows.count()
+    if n_block_rows == 0:
+        stars_raw = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+            "block_key": pa.array([], pa.string()),
+        }))
+        scored = ray.data.from_arrow(scoring.EMPTY_SCORED)
+        touched_rep_ids = ray.data.from_arrow(
+            pa.table({"file_id": pa.array([], pa.string())}))
+        n_touched_reps = 0
+    else:
+        blocks_dd = fused_scoring.dedup_blocks_by_memberset(block_rows, cfg)
+        touched_rep_ids = bucketed_distinct(
+            block_rows.select_columns(["file_id"]), ["file_id"], n_buckets=P,
+        ).materialize()
+        n_touched_reps = touched_rep_ids.count()
+        feat_cols = ["file_id", "path_norm", "sig", "tfvec"]
+        scoring_feats = _isin_filter(
+            prior.reps.select_columns(feat_cols), "file_id",
+            touched_rep_ids, n_touched_reps, cfg, keep=True,
+        ).union(reps_delta_new.select_columns(feat_cols)).materialize()
+        if scoring_feats.count() <= cfg.broadcast_side_max:
+            feats_ref = ray.put(scoring_feats.to_pandas())
+            scored, _stars, stars_raw = fused_scoring.score_blocks(
+                blocks_dd, cfg, feats_ref=feats_ref)
+        else:
+            enriched = fused_scoring.enrich_block_rows(
+                blocks_dd, scoring_feats, cfg)
+            scored, _stars, stars_raw = fused_scoring.score_blocks(enriched, cfg)
+    stats["n_touched_reps"] = n_touched_reps
+
+    # ---- i4: the touched region at the file level --------------------------
+    # touched reps = reps in rescored blocks ∪ sha-matched base reps (they
+    # gain members, so their cluster label can move) ∪ every delta rep
+    touched_reps_all = bucketed_distinct(
+        touched_rep_ids.union(_rename2(sha_rep, ["rep_id"], ["file_id"])),
+        ["file_id"], n_buckets=P,
+    ).materialize()
+    n_touched_all = touched_reps_all.count()
+
+    touched_base_members = _isin_filter(
+        prior.members.select_columns(["file_id", "rep_id"]),
+        "rep_id", _rename2(touched_reps_all, ["file_id"], ["rep_id"]),
+        n_touched_all, cfg, keep=True,
+    ).materialize()
+
+    # clusters intersected by any touched file → every member of those
+    # clusters participates in the relabel (their label can change via merges)
+    touched_files = bucketed_distinct(
+        touched_base_members.select_columns(["file_id"]), ["file_id"],
+        n_buckets=P,
+    ).materialize()
+    n_touched_files = touched_files.count()
+    touched_clusters = bucketed_distinct(
+        _isin_filter(
+            prior.assignments.select_columns(["file_id", "cluster_id"]),
+            "file_id", touched_files, n_touched_files, cfg, keep=True,
+        ).select_columns(["cluster_id"]),
+        ["cluster_id"], n_buckets=P,
+    ).materialize()
+    n_touched_clusters = touched_clusters.count()
+    stats["n_touched_clusters"] = n_touched_clusters
+    cluster_members = _isin_filter(
+        prior.assignments, "cluster_id", touched_clusters,
+        n_touched_clusters, cfg, keep=True,
+    ).materialize()
+    stats["n_touched_base_files"] = cluster_members.count()
+
+    # ---- i5: connected components over the touched region (file level) ----
+    # prior cluster edges (label → member) carry the base connectivity;
+    # member edges attach delta files to their rep; star edges carry the new
+    # in-block matches. Labels = min file_id per component — identical to the
+    # batch pipeline because every cluster label is itself a member file id.
+    prior_edges = _rename2(
+        cluster_members, ["cluster_id", "file_id"], ["id_a", "id_b"])
+    member_edges = _rename2(
+        members_delta, ["rep_id", "file_id"], ["id_a", "id_b"])
+    new_edges = stars_raw.select_columns(["id_a", "id_b"])
+    edges = prior_edges.union(member_edges).union(new_edges)
+    nodes = cluster_members.select_columns(["file_id"]).union(
+        members_delta.select_columns(["file_id"]))
+    relabel = clustering.connected_components(edges, nodes, cfg)
+
+    # ---- i6: assemble -------------------------------------------------------
+    # lineage columns ride from prior assignments (base) / delta members
+    lineage_cols = ["file_id", "content_sha", "repo", "path", "commit", "lang"]
+    lineage = cluster_members.select_columns(lineage_cols).union(
+        members_delta.select_columns(lineage_cols)).materialize()
+    n_scope = lineage.count()
+    if relabel.count() <= cfg.broadcast_labels_max:
+        lab_df = relabel.select_columns(["file_id", "cluster_id"]).to_pandas()
+        lab_ref = ray.put((lab_df["file_id"].to_numpy(),
+                           lab_df["cluster_id"].to_numpy()))
+
+        def attach_label(t: pa.Table) -> pa.Table:
+            keys_idx, vals = cached_broadcast(
+                lab_ref, transform=lambda kv: (pd.Index(kv[0]), kv[1]))
+            fid = t["file_id"].to_numpy(zero_copy_only=False)
+            pos = keys_idx.get_indexer(fid)
+            cl = np.where(pos >= 0, vals[np.maximum(pos, 0)], fid)
+            return pa.table({
+                "file_id": t["file_id"],
+                "cluster_id": pa.array(cl, pa.string()),
+                "canonical_id": pa.array(cl, pa.string()),
+                "content_sha": t["content_sha"], "repo": t["repo"],
+                "path": t["path"], "commit": t["commit"], "lang": t["lang"],
+            })
+
+        relabeled_full = lineage.map_batches(
+            attach_label, batch_format="pyarrow")
+    else:
+        relabeled_full = hash_join(
+            lineage, relabel.select_columns(["file_id", "cluster_id"]),
+            "inner", P, on=("file_id",), right_suffix="_lab",
+        ).map_batches(
+            heal_projection(_FULL_SCHEMA, lambda t: pa.table({
+                "file_id": t["file_id"], "cluster_id": t["cluster_id"],
+                "canonical_id": t["cluster_id"],
+                "content_sha": t["content_sha"], "repo": t["repo"],
+                "path": t["path"], "commit": t["commit"], "lang": t["lang"],
+            })),
+            batch_format="pyarrow",
+        )
+    relabeled_full = relabeled_full.materialize()
+    stats["n_relabeled"] = n_scope
+
+    untouched = _isin_filter(
+        prior.assignments, "cluster_id", touched_clusters,
+        n_touched_clusters, cfg, keep=False,
+    )
+    assignments = untouched.union(relabeled_full)
+
+    delta_ids = bucketed_distinct(
+        members_delta.select_columns(["file_id"]), ["file_id"], n_buckets=P,
+    ).materialize()
+    delta_assignments = _isin_filter(
+        relabeled_full, "file_id", delta_ids, delta_ids.count(), cfg,
+        keep=True,
+    )
+    return IncrementalResult(assignments, delta_assignments, scored, stats)
