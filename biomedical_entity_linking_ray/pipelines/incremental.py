@@ -9,10 +9,11 @@ increment against frozen prior state. Per-increment cost here:
 - raw content is scanned for the DELTA only (stage i0);
 - the base corpus contributes three skinny MAP-ONLY passes — no shuffle ever
   moves base rows the delta cannot affect: re-deriving block keys from the
-  stored rep features (i2, sketches only, content never re-read), member
-  lookup for touched reps (i4), and the untouched-assignment passthrough
-  (i6). Each pass filters map-side against a broadcast of a
-  delta-proportional key set (Bloom/semijoin fallback beyond the bound);
+  stored rep features (i2, sketches only, content never re-read), the
+  touched-cluster lookup over prior assignments (i4), and the
+  untouched-assignment passthrough (i6). Each pass filters map-side against
+  a broadcast of a delta-proportional key set (Bloom/semijoin fallback
+  beyond the bound);
 - every shuffle (delta contraction, block scoring, connected components)
   runs over delta-proportional tables: the touched blocks and the prior
   clusters they intersect.
@@ -68,19 +69,18 @@ from biomedical_entity_linking_ray.pipelines.linkage import _FULL_SCHEMA
 class LinkagePrior:
     """Frozen state of a prior `run_linkage` the increment links against.
 
-    Exactly the three artifacts a checkpointed run already lands: the rep
-    feature table (unique contents; sketches, no raw content), the
-    sha-contraction membership, and the final assignments."""
+    Exactly two artifacts a checkpointed run already lands: the rep feature
+    table (one row per unique content; sketches only, never raw content) and
+    the final assignments. Membership/edges are NOT needed — prior
+    connectivity is fully encoded by the assignment labels."""
 
     reps: "ray.data.Dataset"         # s1_reps: feature rows, file_id == rep_id
-    members: "ray.data.Dataset"      # s1_members: file_id, rep_id, lineage cols
     assignments: "ray.data.Dataset"  # s7_assignments: _FULL_SCHEMA
 
 
 def prior_from_result(res) -> LinkagePrior:
     """Prior state from an in-memory LinkageResult (same-session chaining)."""
-    return LinkagePrior(reps=res.reps, members=res.members,
-                        assignments=res.assignments)
+    return LinkagePrior(reps=res.reps, assignments=res.assignments)
 
 
 def prior_from_checkpoint(root: str, cfg: LinkageConfig = DEFAULT_CONFIG) -> LinkagePrior:
@@ -91,7 +91,6 @@ def prior_from_checkpoint(root: str, cfg: LinkageConfig = DEFAULT_CONFIG) -> Lin
     ck = CheckpointedRun(root, cfg)
     return LinkagePrior(
         reps=ck.read_stage("s1_reps"),
-        members=ck.read_stage("s1_members"),
         assignments=ck.read_stage("s7_assignments"),
     )
 
@@ -167,6 +166,18 @@ def run_linkage_incremental(
     delta-only view and per-stage counts."""
     from biomedical_entity_linking_ray.stages import fused_scoring, scoring
 
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("BEL_STAGE_TIMING"))
+    _t = [_time.time()]
+
+    def _mark(name: str) -> None:
+        if _timing:
+            now = _time.time()
+            print(f"[inc {name}] {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     P = effective_partitions(cfg)
     stats: dict = {}
 
@@ -174,6 +185,7 @@ def run_linkage_incremental(
     dfeats = normalize.compute_features(
         new_files, cfg, concurrency=feature_concurrency).materialize()
     n_delta = dfeats.count()
+    _mark("i0 delta features")
     stats["n_delta_files"] = n_delta
     if n_delta == 0:
         from biomedical_entity_linking_ray.stages import scoring as _scoring
@@ -242,6 +254,7 @@ def run_linkage_incremental(
         _rename2(new_rep_ids, ["rep_id"], ["file_id"]), n_new_shas, cfg,
         keep=True,
     ).materialize()
+    _mark("i1 sticky contraction")
 
     # ---- i2: touched blocks ------------------------------------------------
     # delta reps emit their block keys; base block rows are re-derived from
@@ -266,6 +279,7 @@ def run_linkage_incremental(
         n_dkeys = 0
         block_rows = ray.data.from_arrow(_EMPTY_BLOCKS.empty_table())
     stats["n_touched_block_keys"] = n_dkeys
+    _mark("i2 touched blocks")
 
     # ---- i3: score touched blocks (the flagship's fused path) -------------
     n_block_rows = block_rows.count()
@@ -299,33 +313,45 @@ def run_linkage_incremental(
                 blocks_dd, scoring_feats, cfg)
             scored, _stars, stars_raw = fused_scoring.score_blocks(enriched, cfg)
     stats["n_touched_reps"] = n_touched_reps
+    _mark("i3 score touched blocks")
 
-    # ---- i4: the touched region at the file level --------------------------
-    # touched reps = reps in rescored blocks ∪ sha-matched base reps (they
-    # gain members, so their cluster label can move) ∪ every delta rep
-    touched_reps_all = bucketed_distinct(
-        touched_rep_ids.union(_rename2(sha_rep, ["rep_id"], ["file_id"])),
-        ["file_id"], n_buckets=P,
+    # ---- i4: which prior clusters can the delta actually move? -------------
+    # Rescored base-base pairs in touched blocks were already enumerated by
+    # the base run (identical blocks, identical caps), so their edges are
+    # redundant with the prior labels. The only NEW connectivity is in
+    # star-edge components that CONTAIN a delta file (local contraction keeps
+    # every chain member in one component, so delta-mediated base-base links
+    # always share a component with the delta node that caused them). A first
+    # CC over just the new edges — delta-proportional — finds those
+    # components; prior clusters intersecting them are the full relabel
+    # scope. Everything else passes through untouched, so the increment's
+    # shuffles never grow with blocks that merely got rescored to no effect.
+    delta_ids = bucketed_distinct(
+        members_delta.select_columns(["file_id"]), ["file_id"], n_buckets=P,
     ).materialize()
-    n_touched_all = touched_reps_all.count()
+    n_delta_ids = delta_ids.count()
+    member_edges = _rename2(
+        members_delta, ["rep_id", "file_id"], ["id_a", "id_b"])
+    new_edges = stars_raw.select_columns(["id_a", "id_b"]).union(member_edges)
+    new_cc = clustering.connected_components(
+        new_edges, delta_ids, cfg).materialize()
+    delta_comps = bucketed_distinct(
+        _isin_filter(new_cc.select_columns(["file_id", "cluster_id"]),
+                     "file_id", delta_ids, n_delta_ids, cfg, keep=True)
+        .select_columns(["cluster_id"]),
+        ["cluster_id"], n_buckets=P,
+    ).materialize()
+    touched_nodes = _isin_filter(
+        new_cc.select_columns(["file_id", "cluster_id"]), "cluster_id",
+        delta_comps, delta_comps.count(), cfg, keep=True,
+    ).select_columns(["file_id"]).materialize()
+    n_touched_nodes = touched_nodes.count()
+    stats["n_new_component_nodes"] = n_touched_nodes
 
-    touched_base_members = _isin_filter(
-        prior.members.select_columns(["file_id", "rep_id"]),
-        "rep_id", _rename2(touched_reps_all, ["file_id"], ["rep_id"]),
-        n_touched_all, cfg, keep=True,
-    ).materialize()
-
-    # clusters intersected by any touched file → every member of those
-    # clusters participates in the relabel (their label can change via merges)
-    touched_files = bucketed_distinct(
-        touched_base_members.select_columns(["file_id"]), ["file_id"],
-        n_buckets=P,
-    ).materialize()
-    n_touched_files = touched_files.count()
     touched_clusters = bucketed_distinct(
         _isin_filter(
             prior.assignments.select_columns(["file_id", "cluster_id"]),
-            "file_id", touched_files, n_touched_files, cfg, keep=True,
+            "file_id", touched_nodes, n_touched_nodes, cfg, keep=True,
         ).select_columns(["cluster_id"]),
         ["cluster_id"], n_buckets=P,
     ).materialize()
@@ -336,21 +362,23 @@ def run_linkage_incremental(
         n_touched_clusters, cfg, keep=True,
     ).materialize()
     stats["n_touched_base_files"] = cluster_members.count()
+    _mark("i4 touched clusters")
 
-    # ---- i5: connected components over the touched region (file level) ----
-    # prior cluster edges (label → member) carry the base connectivity;
-    # member edges attach delta files to their rep; star edges carry the new
-    # in-block matches. Labels = min file_id per component — identical to the
-    # batch pipeline because every cluster label is itself a member file id.
+    # ---- i5: final components over the touched region (file level) --------
+    # prior cluster edges (label → member) carry the base connectivity of
+    # every touched cluster; the delta-component new edges carry the rest.
+    # Labels = min file_id per component — identical to the batch pipeline
+    # because every cluster label is itself a member file id.
     prior_edges = _rename2(
         cluster_members, ["cluster_id", "file_id"], ["id_a", "id_b"])
-    member_edges = _rename2(
-        members_delta, ["rep_id", "file_id"], ["id_a", "id_b"])
-    new_edges = stars_raw.select_columns(["id_a", "id_b"])
-    edges = prior_edges.union(member_edges).union(new_edges)
+    scoped_new_edges = _isin_filter(
+        new_edges, "id_a", _rename2(touched_nodes, ["file_id"], ["id_a"]),
+        n_touched_nodes, cfg, keep=True)
+    edges = prior_edges.union(scoped_new_edges)
     nodes = cluster_members.select_columns(["file_id"]).union(
         members_delta.select_columns(["file_id"]))
     relabel = clustering.connected_components(edges, nodes, cfg)
+    _mark("i5 relabel CC")
 
     # ---- i6: assemble -------------------------------------------------------
     # lineage columns ride from prior assignments (base) / delta members
@@ -401,11 +429,7 @@ def run_linkage_incremental(
     )
     assignments = untouched.union(relabeled_full)
 
-    delta_ids = bucketed_distinct(
-        members_delta.select_columns(["file_id"]), ["file_id"], n_buckets=P,
-    ).materialize()
     delta_assignments = _isin_filter(
-        relabeled_full, "file_id", delta_ids, delta_ids.count(), cfg,
-        keep=True,
-    )
+        relabeled_full, "file_id", delta_ids, n_delta_ids, cfg, keep=True)
+    _mark("i6 assemble")
     return IncrementalResult(assignments, delta_assignments, scored, stats)

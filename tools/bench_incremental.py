@@ -1,0 +1,158 @@
+"""Incremental-vs-batch benchmark: cost of linking a small delta against a
+frozen prior corpus, compared with re-running the batch flagship over
+base ∪ delta.
+
+Protocol: generate the scaling corpus (factor 60 by default, same workload
+as bench.py --linkage-only), split ~1/64 of rows into the delta by identity
+hash, batch-cluster the base with a Parquet checkpoint, then time (a) the
+incremental run against the frozen prior and (b) the batch rerun over
+base ∪ delta. Prints one JSON line.
+
+Owns its Ray session (CLI entry point; guarded init per driver contract).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from biomedical_entity_linking_ray.config import LinkageConfig, SynthConfig
+    from biomedical_entity_linking_ray.functions.hashing import fnv1a_fixed
+    from biomedical_entity_linking_ray.pipelines.incremental import (
+        prior_from_checkpoint, run_linkage_incremental)
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+    from biomedical_entity_linking_ray.synth import materialize_corpus
+
+    factor = float(os.environ.get("GRAFT_SCALE_FACTOR", "60"))
+    content_scale = float(os.environ.get("GRAFT_CONTENT_SCALE", "6"))
+    denom = int(os.environ.get("GRAFT_DELTA_DENOM", "64"))
+    d = materialize_corpus(
+        SynthConfig().scaled(factor, content_scale=content_scale),
+        shards=24 if factor > 20 else 1)
+    files = rd.read_parquet(os.path.join(d, "files.parquet"),
+                            override_num_blocks=max(32, ncpu * 2))
+
+    def split(t: pa.Table, keep_delta: bool) -> pa.Table:
+        key = [f"{r}|{p}|{c}" for r, p, c in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist())]
+        h = fnv1a_fixed(np.asarray(key, dtype=object), width=64)
+        m = (h % np.uint64(denom)) == np.uint64(0)
+        return t.filter(pa.array(m if keep_delta else ~m))
+
+    base = files.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow").materialize()
+    delta = files.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow").materialize()
+    n_base, n_delta = base.count(), delta.count()
+
+    cfg = LinkageConfig()
+    root = os.environ.get("GRAFT_INC_CKPT", "/tmp/bench_inc_ckpt")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.time()
+    run_linkage(base, cfg, checkpoint_root=root)
+    t_base = round(time.time() - t0, 3)
+
+    prior = prior_from_checkpoint(root, cfg)
+    t0 = time.time()
+    inc = run_linkage_incremental(delta, prior, cfg)
+    n_inc = inc.assignments.count()
+    t_inc = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    full = run_linkage(base.union(delta).materialize(), cfg)
+    n_full = full.assignments.count()
+    t_full = round(time.time() - t0, 3)
+
+    # Scenario B — the typical production shape: a delta of genuinely NOVEL
+    # documents (high-entropy contents, disjoint shingle space from the base;
+    # the synth code-grammar cannot model this — any two of its "random"
+    # programs share boilerplate shingles and really are near-dups) plus a
+    # realistic intra-batch duplicate fraction. The base here is the FULL
+    # corpus; prior state comes from a fresh checkpoint run.
+    import hashlib
+
+    def novel_rows(n: int) -> pa.Table:
+        repos, paths, commits, langs, contents = [], [], [], [], []
+        for i in range(n):
+            j = i - (i % 8 == 7)  # every 8th row duplicates its predecessor
+            content = " ".join(
+                hashlib.sha256(f"inc:{j}:{t}".encode()).hexdigest()
+                for t in range(24 * int(content_scale)))
+            repos.append("incoming")
+            paths.append(f"drop/d{j}.txt")
+            commits.append(f"c{i}")
+            langs.append("python")
+            contents.append(content)
+        return pa.table({
+            "repo": pa.array(repos), "path": pa.array(paths),
+            "commit": pa.array(commits), "lang": pa.array(langs),
+            "content": pa.array(contents)})
+
+    delta_b = rd.from_arrow(novel_rows(n_delta)).materialize()
+    root_b = root + "_b"
+    shutil.rmtree(root_b, ignore_errors=True)
+    t0 = time.time()
+    run_linkage(files.materialize(), cfg, checkpoint_root=root_b)
+    t_base_b = round(time.time() - t0, 3)
+    prior_b = prior_from_checkpoint(root_b, cfg)
+    t0 = time.time()
+    inc_b = run_linkage_incremental(delta_b, prior_b, cfg)
+    n_inc_b = inc_b.assignments.count()
+    t_inc_b = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "incremental linkage vs batch rerun",
+        "worst_case_random_delta": {
+            "note": "delta = uniform 1/%d sample of the adversarial corpus: "
+                    "it intersects the hot/medium planted clusters, so the "
+                    "touched region holds most of the corpus's pair mass -- "
+                    "the increment's upper bound is the batch job on that "
+                    "region" % denom,
+            "rows_base": n_base, "rows_delta": n_delta,
+            "rows_out_incremental": n_inc, "rows_out_batch": n_full,
+            "sec_base_batch_ckpt": t_base,
+            "sec_incremental": t_inc,
+            "sec_batch_rerun": t_full,
+            "speedup_vs_rerun": round(t_full / t_inc, 2) if t_inc else None,
+            "stats": {k: v for k, v in inc.stats.items()},
+        },
+        "typical_new_content_delta": {
+            "note": "delta = brand-new documents (fresh seed, no planted "
+                    "relation to the base): the production daily-arrivals "
+                    "shape",
+            "rows_base": n_base + n_delta, "rows_delta": delta_b.count(),
+            "rows_out_incremental": n_inc_b,
+            "sec_base_batch_ckpt": t_base_b,
+            "sec_incremental": t_inc_b,
+            "sec_batch_rerun_expected": t_full,
+            "speedup_vs_rerun": round(t_full / t_inc_b, 2) if t_inc_b else None,
+            "stats": {k: v for k, v in inc_b.stats.items()},
+        },
+        "factor": factor, "num_cpus": ncpu,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
