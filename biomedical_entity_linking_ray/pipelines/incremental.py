@@ -106,7 +106,7 @@ class IncrementalResult:
 def _isin_filter(
     ds: "ray.data.Dataset",
     col: str,
-    values_ds: "ray.data.Dataset",
+    values_ds,
     n_values: int,
     cfg: LinkageConfig,
     keep: bool = True,
@@ -117,13 +117,18 @@ def _isin_filter(
     bound it ships once via ray.put and each worker builds ONE pandas Index
     hashtable (O(batch) probes per batch — the fused_scoring semi-filter
     shape); beyond the bound it falls back to the exact Bloom semi/anti join
-    (misses emitted map-side, only hits enter a shuffle)."""
+    (misses emitted map-side, only hits enter a shuffle). `values_ds` may be
+    a numpy array already on the driver (fast paths that computed the key
+    set driver-side anyway), which skips the collection job."""
     if n_values == 0:
         if keep:
             return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
         return ds
     if n_values <= cfg.broadcast_side_max:
-        vals = values_ds.to_pandas()[col].to_numpy()
+        if isinstance(values_ds, np.ndarray):
+            vals = values_ds
+        else:
+            vals = values_ds.to_pandas()[col].to_numpy()
         ref = ray.put(vals)
 
         def f(t: pa.Table) -> pa.Table:
@@ -135,6 +140,9 @@ def _isin_filter(
             return t.filter(pa.array(m if keep else ~m))
 
         return ds.map_batches(f, batch_format="pyarrow")
+    if isinstance(values_ds, np.ndarray):
+        values_ds = ray.data.from_arrow(
+            pa.table({col: pa.array(values_ds)}))
     P = effective_partitions(cfg)
     fn = bloom_semi_join if keep else bloom_anti_join
     return fn(ds, values_ds, col, col, num_partitions=P)
@@ -199,39 +207,38 @@ def run_linkage_incremental(
     # shas already in the base keep their prior rep (one skinny map-only pass
     # over prior.reps filtered against the broadcast delta-sha set); new shas
     # take min(delta file_id) — which IS min over base∪delta for a new sha.
-    delta_shas = bucketed_distinct(
-        dfeats.select_columns(["content_sha"]), ["content_sha"],
-        n_buckets=P,
-    ).materialize()
-    n_dsha = delta_shas.count()
-    base_matched = _isin_filter(
-        prior.reps.select_columns(["content_sha", "file_id"]),
-        "content_sha", delta_shas, n_dsha, cfg, keep=True,
-    )
-    base_matched = _rename2(
-        base_matched, ["content_sha", "file_id"], ["content_sha", "rep_id"],
-    ).materialize()
-    n_matched = base_matched.count()
-    stats["n_shas_matched_in_base"] = n_matched
-
-    delta_min = bucketed_aggregate(
-        dfeats.select_columns(["content_sha", "file_id"]),
-        ["content_sha"], {"rep_id": ("file_id", "min")}, n_buckets=P,
-    )
-    new_sha_rep = _isin_filter(
-        delta_min, "content_sha",
-        base_matched.select_columns(["content_sha"]), n_matched, cfg,
-        keep=False,
-    ).materialize()
-    n_new_shas = new_sha_rep.count()
-    stats["n_new_shas"] = n_new_shas
-    sha_rep = base_matched.union(new_sha_rep).materialize()
-
-    # attach rep_id onto the delta feature rows (contraction members shape);
-    # the sha→rep map is delta-proportional by construction, so the broadcast
-    # path is the common case (hash join beyond the bound, as exact_contract)
-    if n_dsha <= cfg.broadcast_side_max:
-        rep_ref = ray.put(sha_rep.to_pandas())
+    if n_delta <= cfg.broadcast_side_max:
+        # driver-side fast path: the sha→rep map is delta-proportional, so
+        # pull the two skinny delta key columns once and derive delta_shas /
+        # min-per-sha / new_sha_rep in pandas — same values as the shuffle
+        # path below, minus four barrier jobs. At bench-scale deltas the
+        # increment's wall is dominated by the per-stage scheduling floor,
+        # not data, so collapsing barriers is the honest optimization here.
+        ddf = dfeats.select_columns(["content_sha", "file_id"]).to_pandas()
+        delta_sha_vals = ddf["content_sha"].unique()
+        n_dsha = len(delta_sha_vals)
+        base_matched_df = _isin_filter(
+            prior.reps.select_columns(["content_sha", "file_id"]),
+            "content_sha", delta_sha_vals, n_dsha, cfg, keep=True,
+        ).to_pandas()
+        if "content_sha" not in base_matched_df.columns:
+            # a fully-empty filter result loses its schema on collection
+            base_matched_df = pd.DataFrame(
+                {"content_sha": pd.Series([], dtype=object),
+                 "file_id": pd.Series([], dtype=object)})
+        base_matched_df = base_matched_df.rename(columns={"file_id": "rep_id"})
+        n_matched = len(base_matched_df)
+        dmin = (ddf.groupby("content_sha", sort=False)["file_id"].min()
+                .reset_index().rename(columns={"file_id": "rep_id"}))
+        new_sha_rep_df = dmin[~dmin["content_sha"].isin(
+            pd.Index(base_matched_df["content_sha"]))]
+        n_new_shas = len(new_sha_rep_df)
+        sha_rep_df = pd.concat(
+            [base_matched_df, new_sha_rep_df], ignore_index=True)
+        new_rep_vals = new_sha_rep_df["rep_id"].to_numpy()
+        delta_id_vals = ddf["file_id"].unique()
+        n_delta_ids = len(delta_id_vals)
+        rep_ref = ray.put(sha_rep_df)
 
         def attach_rep(t: pa.Table) -> pa.Table:
             m = cached_broadcast(
@@ -241,19 +248,73 @@ def run_linkage_incremental(
 
         members_delta = dfeats.map_batches(
             attach_rep, batch_format="pyarrow").materialize()
+        reps_delta_new = _isin_filter(
+            dfeats, "file_id", new_rep_vals, n_new_shas, cfg, keep=True,
+        ).materialize()
     else:
-        members_delta = hash_join(
-            dfeats, sha_rep, "inner", P, on=("content_sha",)).materialize()
+        delta_shas = bucketed_distinct(
+            dfeats.select_columns(["content_sha"]), ["content_sha"],
+            n_buckets=P,
+        ).materialize()
+        n_dsha = delta_shas.count()
+        base_matched = _isin_filter(
+            prior.reps.select_columns(["content_sha", "file_id"]),
+            "content_sha", delta_shas, n_dsha, cfg, keep=True,
+        )
+        base_matched = _rename2(
+            base_matched, ["content_sha", "file_id"],
+            ["content_sha", "rep_id"],
+        ).materialize()
+        n_matched = base_matched.count()
 
-    # feature rows of the NEW-content reps (these are the only rows that can
-    # create new blocks: known-content arrivals attach via i1 and change no
-    # block's membership under sticky reps)
-    new_rep_ids = new_sha_rep.select_columns(["rep_id"])
-    reps_delta_new = _isin_filter(
-        dfeats, "file_id",
-        _rename2(new_rep_ids, ["rep_id"], ["file_id"]), n_new_shas, cfg,
-        keep=True,
-    ).materialize()
+        delta_min = bucketed_aggregate(
+            dfeats.select_columns(["content_sha", "file_id"]),
+            ["content_sha"], {"rep_id": ("file_id", "min")}, n_buckets=P,
+        )
+        new_sha_rep = _isin_filter(
+            delta_min, "content_sha",
+            base_matched.select_columns(["content_sha"]), n_matched, cfg,
+            keep=False,
+        ).materialize()
+        n_new_shas = new_sha_rep.count()
+        sha_rep = base_matched.union(new_sha_rep).materialize()
+
+        # attach rep_id onto the delta feature rows (contraction members
+        # shape); beyond the broadcast bound this is the exact_contract
+        # hash-join shape
+        if n_dsha <= cfg.broadcast_side_max:
+            rep_ref = ray.put(sha_rep.to_pandas())
+
+            def attach_rep(t: pa.Table) -> pa.Table:
+                m = cached_broadcast(
+                    rep_ref,
+                    lambda df: dict(zip(df["content_sha"], df["rep_id"])))
+                reps_col = [m[s] for s in t["content_sha"].to_pylist()]
+                return t.append_column(
+                    "rep_id", pa.array(reps_col, pa.string()))
+
+            members_delta = dfeats.map_batches(
+                attach_rep, batch_format="pyarrow").materialize()
+        else:
+            members_delta = hash_join(
+                dfeats, sha_rep, "inner", P, on=("content_sha",)).materialize()
+
+        # feature rows of the NEW-content reps (these are the only rows that
+        # can create new blocks: known-content arrivals attach via i1 and
+        # change no block's membership under sticky reps)
+        new_rep_ids = new_sha_rep.select_columns(["rep_id"])
+        reps_delta_new = _isin_filter(
+            dfeats, "file_id",
+            _rename2(new_rep_ids, ["rep_id"], ["file_id"]), n_new_shas, cfg,
+            keep=True,
+        ).materialize()
+        delta_id_vals = bucketed_distinct(
+            members_delta.select_columns(["file_id"]), ["file_id"],
+            n_buckets=P,
+        ).materialize()
+        n_delta_ids = delta_id_vals.count()
+    stats["n_shas_matched_in_base"] = n_matched
+    stats["n_new_shas"] = n_new_shas
     _mark("i1 sticky contraction")
 
     # ---- i2: touched blocks ------------------------------------------------
@@ -326,10 +387,11 @@ def run_linkage_incremental(
     # components; prior clusters intersecting them are the full relabel
     # scope. Everything else passes through untouched, so the increment's
     # shuffles never grow with blocks that merely got rescored to no effect.
-    delta_ids = bucketed_distinct(
-        members_delta.select_columns(["file_id"]), ["file_id"], n_buckets=P,
-    ).materialize()
-    n_delta_ids = delta_ids.count()
+    if isinstance(delta_id_vals, np.ndarray):
+        delta_ids = ray.data.from_arrow(
+            pa.table({"file_id": pa.array(delta_id_vals)}))
+    else:
+        delta_ids = delta_id_vals
     member_edges = _rename2(
         members_delta, ["rep_id", "file_id"], ["id_a", "id_b"])
     new_edges = stars_raw.select_columns(["id_a", "id_b"]).union(member_edges)
@@ -337,7 +399,7 @@ def run_linkage_incremental(
         new_edges, delta_ids, cfg).materialize()
     delta_comps = bucketed_distinct(
         _isin_filter(new_cc.select_columns(["file_id", "cluster_id"]),
-                     "file_id", delta_ids, n_delta_ids, cfg, keep=True)
+                     "file_id", delta_id_vals, n_delta_ids, cfg, keep=True)
         .select_columns(["cluster_id"]),
         ["cluster_id"], n_buckets=P,
     ).materialize()
@@ -369,15 +431,25 @@ def run_linkage_incremental(
     # every touched cluster; the delta-component new edges carry the rest.
     # Labels = min file_id per component — identical to the batch pipeline
     # because every cluster label is itself a member file id.
-    prior_edges = _rename2(
-        cluster_members, ["cluster_id", "file_id"], ["id_a", "id_b"])
-    scoped_new_edges = _isin_filter(
-        new_edges, "id_a", _rename2(touched_nodes, ["file_id"], ["id_a"]),
-        n_touched_nodes, cfg, keep=True)
-    edges = prior_edges.union(scoped_new_edges)
-    nodes = cluster_members.select_columns(["file_id"]).union(
-        members_delta.select_columns(["file_id"]))
-    relabel = clustering.connected_components(edges, nodes, cfg)
+    if n_touched_clusters == 0:
+        # no prior cluster intersects a delta component, so every delta
+        # component is all-delta (a base node in one would have a prior
+        # assignment, touching its cluster) and the i4 CC over the new edges
+        # IS the final labeling: same nodes, same edges, same min-file_id
+        # labels the dedicated CC below would recompute.
+        relabel = _isin_filter(
+            new_cc, "file_id", delta_id_vals, n_delta_ids, cfg, keep=True,
+        ).materialize()
+    else:
+        prior_edges = _rename2(
+            cluster_members, ["cluster_id", "file_id"], ["id_a", "id_b"])
+        scoped_new_edges = _isin_filter(
+            new_edges, "id_a", _rename2(touched_nodes, ["file_id"], ["id_a"]),
+            n_touched_nodes, cfg, keep=True)
+        edges = prior_edges.union(scoped_new_edges)
+        nodes = cluster_members.select_columns(["file_id"]).union(
+            members_delta.select_columns(["file_id"]))
+        relabel = clustering.connected_components(edges, nodes, cfg)
     _mark("i5 relabel CC")
 
     # ---- i6: assemble -------------------------------------------------------
@@ -430,6 +502,6 @@ def run_linkage_incremental(
     assignments = untouched.union(relabeled_full)
 
     delta_assignments = _isin_filter(
-        relabeled_full, "file_id", delta_ids, n_delta_ids, cfg, keep=True)
+        relabeled_full, "file_id", delta_id_vals, n_delta_ids, cfg, keep=True)
     _mark("i6 assemble")
     return IncrementalResult(assignments, delta_assignments, scored, stats)

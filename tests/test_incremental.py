@@ -85,6 +85,46 @@ def test_incremental_exact_dup_only_delta(planted_split, planted_prior):
     assert _frame(inc.assignments).equals(full)
 
 
+def test_incremental_equals_full_beyond_broadcast_bound(
+        planted_split, planted_full, planted_prior):
+    """Same equality with every broadcast bound forced to zero: the Bloom
+    semi/anti joins, the hash-join rep attach and the hash-join label attach
+    (the 100-TB fallbacks of every map-side filter) must produce the same
+    values as the broadcast fast paths."""
+    _, _, delta = planted_split
+    cfg = LinkageConfig(broadcast_side_max=0, broadcast_labels_max=0)
+    inc = run_linkage_incremental(delta, prior_from_result(planted_prior), cfg)
+    assert _frame(inc.assignments).equals(planted_full)
+
+
+def test_incremental_novel_delta_no_touched_clusters(planted_split, planted_prior):
+    """A delta of brand-new content (disjoint from every base block) with
+    intra-delta exact and near duplicates: zero prior clusters touched, the
+    relabel short-circuits to the new-edge CC, and the result equals the
+    batch run over base ∪ delta."""
+    import pyarrow as pa
+
+    _, base, _ = planted_split
+    rows = []
+    for i in range(12):
+        j = i - (i % 4 == 3)  # every 4th row is an exact copy of its neighbor
+        body = " ".join(f"zq{j}tok{t}" for t in range(60))
+        rows.append(("novel", f"n/{j}.txt", f"c{i}", "python", body))
+    delta = rd.from_arrow(pa.table({
+        "repo": pa.array([r[0] for r in rows]),
+        "path": pa.array([r[1] for r in rows]),
+        "commit": pa.array([r[2] for r in rows]),
+        "lang": pa.array([r[3] for r in rows]),
+        "content": pa.array([r[4] for r in rows]),
+    })).materialize()
+    inc = run_linkage_incremental(
+        delta, prior_from_result(planted_prior), LinkageConfig())
+    assert inc.stats["n_touched_clusters"] == 0
+    assert inc.stats["n_touched_base_files"] == 0
+    full = _frame(run_linkage(base.union(delta), LinkageConfig()).assignments)
+    assert _frame(inc.assignments).equals(full)
+
+
 def test_incremental_empty_delta(planted_split, planted_prior):
     import pyarrow as pa
 
