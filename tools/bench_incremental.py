@@ -44,6 +44,58 @@ def main() -> None:
     factor = float(os.environ.get("GRAFT_SCALE_FACTOR", "60"))
     content_scale = float(os.environ.get("GRAFT_CONTENT_SCALE", "6"))
     denom = int(os.environ.get("GRAFT_DELTA_DENOM", "64"))
+
+    if os.environ.get("GRAFT_INC_BIG"):
+        # corpus-growth scenario: does the increment stay delta-proportional
+        # when the base grows ~10x? One assignments-only checkpointed base
+        # run (the production deployment shape; its cost is also the durable
+        # rerun cost to within the +0.15% delta rows), then a novel-content
+        # increment against the frozen prior.
+        import hashlib
+        import shutil
+
+        big_factor = float(os.environ.get("GRAFT_BIG_FACTOR", "640"))
+        d = materialize_corpus(SynthConfig().scaled(big_factor), shards=32)
+        files = rd.read_parquet(os.path.join(d, "files.parquet"),
+                                override_num_blocks=max(32, ncpu * 2))
+        n_files = files.count()
+        cfg = LinkageConfig(emit_scored_pairs=False)
+        root = os.environ.get("GRAFT_INC_CKPT", "/tmp/bench_inc_big_ckpt")
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.time()
+        run_linkage(files, cfg, checkpoint_root=root)
+        t_base = round(time.time() - t0, 3)
+
+        n_delta = int(os.environ.get("GRAFT_BIG_DELTA", "2054"))
+        rows = {"repo": [], "path": [], "commit": [], "lang": [],
+                "content": []}
+        for i in range(n_delta):
+            j = i - (i % 8 == 7)
+            rows["repo"].append("incoming")
+            rows["path"].append(f"drop/d{j}.txt")
+            rows["commit"].append(f"c{i}")
+            rows["lang"].append("python")
+            rows["content"].append(" ".join(
+                hashlib.sha256(f"inc:{j}:{t}".encode()).hexdigest()
+                for t in range(24)))
+        delta = rd.from_arrow(pa.table(rows)).materialize()
+        prior = prior_from_checkpoint(root, cfg)
+        t0 = time.time()
+        inc = run_linkage_incremental(delta, prior, cfg)
+        n_out = inc.assignments.count()
+        t_inc = round(time.time() - t0, 3)
+        print(json.dumps({
+            "metric": "incremental linkage at a 10x-grown base",
+            "rows_base": n_files, "rows_delta": n_delta,
+            "rows_out_incremental": n_out,
+            "sec_base_batch_ckpt_assignments_only": t_base,
+            "sec_incremental": t_inc,
+            "speedup_vs_durable_rerun": round(t_base / t_inc, 2),
+            "note": "rerun cost ~= base cost: the delta adds 0.15% rows",
+            "stats": inc.stats, "factor": big_factor, "num_cpus": ncpu,
+        }))
+        ray.shutdown()
+        return
     d = materialize_corpus(
         SynthConfig().scaled(factor, content_scale=content_scale),
         shards=24 if factor > 20 else 1)
