@@ -62,3 +62,32 @@ def test_job_entry_checkpointed_partitioned(tmp_path):
     assert m["stages"].get("s0_features", {}).get("rows", 0) > 0
     assert m["stages"].get("s7_assignments", {}).get("rows") == m["rows_out"]
     assert os.path.exists(os.path.join(ckpt, "s6_clusters", "manifest.json"))
+
+
+def test_job_entry_resubmission_resumes(tmp_path):
+    """Resubmitting the same job (same checkpoint root + config) must skip
+    every completed stage and emit identical assignments — the pre-emption
+    recovery contract of the job entrypoint."""
+    ckpt = str(tmp_path / "ckpt_resume")
+    out1, m1 = _run_job(["--assignments-only", "--checkpoint-root", ckpt],
+                        tmp_path, "r1")
+    stamps = {}
+    for st, info in m1["stages"].items():
+        p = os.path.join(ckpt, st, "manifest.json")
+        with open(p) as f:
+            stamps[st] = json.load(f).get("completed_at")
+    assert stamps, m1["stages"]
+
+    out2, m2 = _run_job(["--assignments-only", "--checkpoint-root", ckpt],
+                        tmp_path, "r2")
+    # completed stages were read back, not recomputed: manifests untouched
+    for st, stamp in stamps.items():
+        with open(os.path.join(ckpt, st, "manifest.json")) as f:
+            assert json.load(f).get("completed_at") == stamp, st
+    # and the resumed output is identical, row order aside
+    import pandas as pd
+    a = pq.read_table(out1).to_pandas().sort_values("file_id").reset_index(drop=True)
+    b = pq.read_table(out2).to_pandas().sort_values("file_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    assert m2["rows_out"] == m1["rows_out"]
+    assert m2["n_clusters"] == m1["n_clusters"]
