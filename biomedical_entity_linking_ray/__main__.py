@@ -71,6 +71,17 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--partition-cols", nargs="*", default=None,
                     help="hive-partition the output by these columns "
                          "(e.g. lang)")
+    ap.add_argument("--prior-checkpoint", default=None,
+                    help="INCREMENTAL mode: link --input (the DELTA files "
+                         "table) against the frozen prior state in this "
+                         "batch-run checkpoint root, instead of re-clustering "
+                         "the corpus. The config (--tau/--salt-cap/...) must "
+                         "match the batch run that wrote the checkpoint "
+                         "(manifest fingerprints are verified). Output is the "
+                         "FULL updated assignment table unless --delta-only.")
+    ap.add_argument("--delta-only", action="store_true",
+                    help="incremental mode: write only the delta files' "
+                         "assignment rows instead of the full updated table")
     ap.add_argument("--metrics-out", default=None,
                     help="also write the final metrics JSON line to this path")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -112,15 +123,44 @@ def main(argv: list[str] | None = None) -> int:
     cfg = (type(DEFAULT_CONFIG)(**{**DEFAULT_CONFIG.__dict__, **cfg_kw})
            if cfg_kw else DEFAULT_CONFIG)
 
+    inc_stats = None
     t0 = time.time()
     files = rd.read_parquet(
         args.input, columns=["repo", "path", "commit", "lang", "content"])
-    res = run_linkage(files, cfg, checkpoint_root=args.checkpoint_root)
+    if args.prior_checkpoint:
+        # Incremental: the increment is delta-proportional, not a stage graph
+        # over the corpus, so it has no checkpoint root of its own.
+        if args.checkpoint_root:
+            print("error: --checkpoint-root applies to batch mode; an "
+                  "incremental run is delta-proportional (resubmit the whole "
+                  "increment instead)", file=sys.stderr)
+            return 2
+        from biomedical_entity_linking_ray.pipelines.incremental import (
+            prior_from_checkpoint, run_linkage_incremental,
+        )
+        from biomedical_entity_linking_ray.state.manifests import (
+            CheckpointedRun,
+        )
+        ck = CheckpointedRun(args.prior_checkpoint, cfg)
+        missing = [st for st in ("s1_reps", "s7_assignments")
+                   if not ck.is_complete(st)]
+        if missing:
+            print(f"error: prior checkpoint {args.prior_checkpoint} has no "
+                  f"complete {missing} for this config (stale fingerprint or "
+                  "unfinished batch run)", file=sys.stderr)
+            return 2
+        inc = run_linkage_incremental(
+            files, prior_from_checkpoint(args.prior_checkpoint, cfg), cfg)
+        out_ds = inc.delta_assignments if args.delta_only else inc.assignments
+        inc_stats = inc.stats
+    else:
+        res = run_linkage(files, cfg, checkpoint_root=args.checkpoint_root)
+        out_ds = res.assignments
 
     write_kw = {}
     if args.partition_cols:
         write_kw["partition_cols"] = list(args.partition_cols)
-    res.assignments.write_parquet(args.output, **write_kw)
+    out_ds.write_parquet(args.output, **write_kw)
 
     # The output is its own source of truth for counts: read it back (cheap
     # column-pruned scan) rather than re-executing assignment lineage.
@@ -144,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
 
     metrics = {
         "metric": "linkage job",
+        "mode": "incremental" if args.prior_checkpoint else "batch",
         "input": args.input,
         "output": args.output,
         "rows_out": n_rows,
@@ -154,6 +195,9 @@ def main(argv: list[str] | None = None) -> int:
         "sec_total": round(time.time() - t0, 3),
         "num_cpus": int(ray.cluster_resources().get("CPU", 0)),
     }
+    if inc_stats is not None:
+        metrics["incremental"] = inc_stats
+        metrics["delta_only"] = bool(args.delta_only)
     line = json.dumps(metrics)
     print(line, flush=True)
     if args.metrics_out:

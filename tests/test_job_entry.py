@@ -91,3 +91,67 @@ def test_job_entry_resubmission_resumes(tmp_path):
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
     assert m2["rows_out"] == m1["rows_out"]
     assert m2["n_clusters"] == m1["n_clusters"]
+
+
+def test_job_entry_incremental(tmp_path):
+    """Deployment loop: a batch job writes the prior checkpoint, then an
+    incremental job links the day's delta against it — full updated table
+    identical to the batch run over base ∪ delta (library contract, here
+    checked through the CLI surface end-to-end)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+    from biomedical_entity_linking_ray.synth import planted_files_from_docs
+
+    files = planted_files_from_docs("/root/testdata/sf0.001").materialize()
+    base = files.filter(expr="commit == 'v0c0' or commit == 'v1c0'")
+    delta = files.filter(expr="commit != 'v0c0' and commit != 'v1c0'")
+    base_p = str(tmp_path / "base_parquet")
+    delta_p = str(tmp_path / "delta_parquet")
+    base.write_parquet(base_p)
+    delta.write_parquet(delta_p)
+
+    ckpt = str(tmp_path / "prior_ckpt")
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+
+    def run(extra, name):
+        out = str(tmp_path / f"{name}_out")
+        metrics = str(tmp_path / f"{name}_metrics.json")
+        cmd = [sys.executable, "-m", "biomedical_entity_linking_ray",
+               "--output", out, "--metrics-out", metrics,
+               "--num-cpus", "2", *extra]
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        with open(metrics) as f:
+            return out, json.loads(f.read())
+
+    run(["--input", base_p, "--checkpoint-root", ckpt], "base")
+    out_inc, m = run(["--input", delta_p, "--prior-checkpoint", ckpt], "inc")
+    assert m["mode"] == "incremental"
+    assert m["incremental"]["n_delta_files"] == delta.count()
+
+    # value-exact vs the in-process batch run over base ∪ delta
+    want = (run_linkage(files, LinkageConfig()).assignments.to_pandas()
+            .sort_values("file_id").reset_index(drop=True))
+    got = (pq.read_table(out_inc).to_pandas()
+           .sort_values("file_id").reset_index(drop=True))
+    cols = ["file_id", "cluster_id", "canonical_id", "content_sha"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+    # delta-only view: exactly the delta rows
+    out_d, md = run(["--input", delta_p, "--prior-checkpoint", ckpt,
+                     "--delta-only"], "incd")
+    assert md["rows_out"] == delta.count()
+
+    # config drift against the prior checkpoint must fail loudly, not read
+    # stale stages
+    cmd = [sys.executable, "-m", "biomedical_entity_linking_ray",
+           "--input", delta_p, "--output", str(tmp_path / "bad_out"),
+           "--prior-checkpoint", ckpt, "--tau", "0.9", "--num-cpus", "2"]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=600)
+    assert proc.returncode == 2
+    assert "stale fingerprint" in proc.stderr
