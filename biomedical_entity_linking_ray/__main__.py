@@ -82,6 +82,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--delta-only", action="store_true",
                     help="incremental mode: write only the delta files' "
                          "assignment rows instead of the full updated table")
+    ap.add_argument("--update-checkpoint", default=None,
+                    help="incremental mode: also persist the UPDATED prior "
+                         "(reps + assignments manifests) into this FRESH "
+                         "root, so tomorrow's delta chains with "
+                         "--prior-checkpoint <this root>; the root the "
+                         "increment was derived from stays immutable")
     ap.add_argument("--metrics-out", default=None,
                     help="also write the final metrics JSON line to this path")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -92,6 +98,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.update_checkpoint and not args.prior_checkpoint:
+        print("error: --update-checkpoint only applies to incremental runs "
+              "(--prior-checkpoint); a batch run's --checkpoint-root IS its "
+              "prior", file=sys.stderr)
+        return 2
 
     import ray
 
@@ -136,7 +147,7 @@ def main(argv: list[str] | None = None) -> int:
                   "increment instead)", file=sys.stderr)
             return 2
         from biomedical_entity_linking_ray.pipelines.incremental import (
-            prior_from_checkpoint, run_linkage_incremental,
+            checkpoint_prior, prior_from_checkpoint, run_linkage_incremental,
         )
         from biomedical_entity_linking_ray.state.manifests import (
             CheckpointedRun,
@@ -153,6 +164,15 @@ def main(argv: list[str] | None = None) -> int:
             files, prior_from_checkpoint(args.prior_checkpoint, cfg), cfg)
         out_ds = inc.delta_assignments if args.delta_only else inc.assignments
         inc_stats = inc.stats
+        if args.update_checkpoint:
+            if os.path.abspath(args.update_checkpoint) == os.path.abspath(
+                    args.prior_checkpoint):
+                print("error: --update-checkpoint must be a fresh root, not "
+                      "the prior it was derived from", file=sys.stderr)
+                return 2
+            checkpoint_prior(inc, args.update_checkpoint, cfg)
+            inc_stats = {**inc_stats,
+                         "updated_prior_root": args.update_checkpoint}
     else:
         res = run_linkage(files, cfg, checkpoint_root=args.checkpoint_root)
         out_ds = res.assignments

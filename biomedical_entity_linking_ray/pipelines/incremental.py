@@ -100,7 +100,40 @@ class IncrementalResult:
     assignments: "ray.data.Dataset"        # full corpus: untouched ∪ relabeled
     delta_assignments: "ray.data.Dataset"  # the delta files' rows only
     scored_pairs: "ray.data.Dataset"       # audit: pairs scored in touched blocks
+    updated_reps: "ray.data.Dataset"       # prior.reps ∪ new-content delta reps
     stats: dict
+
+
+def prior_from_incremental(inc: IncrementalResult) -> LinkagePrior:
+    """Prior state from a finished increment — day-over-day chaining: the next
+    delta links against base ∪ all prior deltas without any batch rerun.
+    Sticky reps compose: a sha seen in ANY earlier wave keeps the rep that
+    wave assigned, so blocking keys (functions of content sketches, not of
+    which file is rep) match a batch run's keys wave after wave."""
+    return LinkagePrior(reps=inc.updated_reps, assignments=inc.assignments)
+
+
+def checkpoint_prior(
+    inc: IncrementalResult,
+    root: str,
+    cfg: LinkageConfig = DEFAULT_CONFIG,
+) -> None:
+    """Persist the increment's updated prior (s1_reps + s7_assignments
+    manifests) into a FRESH checkpoint root, so the next increment can run
+    cross-session via `prior_from_checkpoint(root, cfg)`.
+
+    Refuses a root that already holds a complete prior for this config: the
+    state an increment was derived from stays immutable — a failed writeback
+    must never corrupt the only copy of the prior."""
+    from biomedical_entity_linking_ray.state.manifests import CheckpointedRun
+
+    ck = CheckpointedRun(root, cfg)
+    if ck.is_complete("s1_reps") or ck.is_complete("s7_assignments"):
+        raise ValueError(
+            f"{root} already holds a complete prior for this config; "
+            "write the updated prior to a fresh root")
+    ck.write_stage("s1_reps", inc.updated_reps, {})
+    ck.write_stage("s7_assignments", inc.assignments, {})
 
 
 def _isin_filter(
@@ -201,7 +234,7 @@ def run_linkage_incremental(
         empty = ray.data.from_arrow(_FULL_SCHEMA.empty_table())
         return IncrementalResult(
             prior.assignments, empty,
-            ray.data.from_arrow(_scoring.EMPTY_SCORED), stats)
+            ray.data.from_arrow(_scoring.EMPTY_SCORED), prior.reps, stats)
 
     # ---- i1: sticky contraction of the delta ------------------------------
     # shas already in the base keep their prior rep (one skinny map-only pass
@@ -503,5 +536,15 @@ def run_linkage_incremental(
 
     delta_assignments = _isin_filter(
         relabeled_full, "file_id", delta_id_vals, n_delta_ids, cfg, keep=True)
+
+    # updated prior reps for the NEXT increment: base reps pass through
+    # untouched (sticky), new-content delta reps join with rep_id == file_id
+    # (they are their own rep, as in the batch s1_reps schema).
+    def _with_rep_id(t: pa.Table) -> pa.Table:
+        return t.append_column("rep_id", t["file_id"])
+
+    updated_reps = prior.reps.union(
+        reps_delta_new.map_batches(_with_rep_id, batch_format="pyarrow"))
     _mark("i6 assemble")
-    return IncrementalResult(assignments, delta_assignments, scored, stats)
+    return IncrementalResult(
+        assignments, delta_assignments, scored, updated_reps, stats)

@@ -205,3 +205,43 @@ def test_incremental_synth_monotone_and_gold():
     neg_ok = (~same[~pos]).mean()
     assert recall >= 0.99, recall
     assert neg_ok >= 0.99, neg_ok
+
+
+def test_incremental_chained_waves(tmp_path, planted_split, planted_full,
+                                   planted_prior):
+    """Day-over-day chaining: wave 2 links against wave 1's updated prior —
+    in memory (prior_from_incremental) and across sessions (checkpoint_prior
+    -> prior_from_checkpoint) — and the final table equals the batch run over
+    all three waves. delta2's v2c1 files share content with delta1's v2c0,
+    so the second wave must resolve reps that only exist in the UPDATED prior,
+    not in the base run."""
+    from biomedical_entity_linking_ray.pipelines.incremental import (
+        checkpoint_prior, prior_from_incremental)
+
+    files, base, _ = planted_split
+    cfg = LinkageConfig()
+    d1 = files.filter(expr="commit == 'v2c0' or commit == 'v0c1'").materialize()
+    d2 = files.filter(expr="commit == 'v1c1' or commit == 'v2c1'").materialize()
+    assert base.count() + d1.count() + d2.count() == files.count()
+
+    inc1 = run_linkage_incremental(d1, prior_from_result(planted_prior), cfg)
+    p1 = str(tmp_path / "prior_wave1")
+    checkpoint_prior(inc1, p1, cfg)
+
+    # updated reps: one per distinct content sha of base ∪ delta1
+    reps_df = inc1.updated_reps.to_pandas()
+    want_shas = set(planted_full.loc[
+        planted_full["commit"].isin(["v0c0", "v1c0", "v2c0", "v0c1"]),
+        "content_sha"])
+    assert set(reps_df["content_sha"]) == want_shas
+    assert not reps_df["content_sha"].duplicated().any()
+    assert (reps_df["rep_id"] == reps_df["file_id"]).all()
+
+    inc2_mem = run_linkage_incremental(d2, prior_from_incremental(inc1), cfg)
+    inc2_ckpt = run_linkage_incremental(d2, prior_from_checkpoint(p1, cfg), cfg)
+    pd.testing.assert_frame_equal(_frame(inc2_mem.assignments), planted_full)
+    pd.testing.assert_frame_equal(_frame(inc2_ckpt.assignments), planted_full)
+
+    # the prior a wave was derived from stays immutable
+    with pytest.raises(ValueError, match="fresh root"):
+        checkpoint_prior(inc1, p1, cfg)

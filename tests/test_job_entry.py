@@ -155,3 +155,64 @@ def test_job_entry_incremental(tmp_path):
                           text=True, timeout=600)
     assert proc.returncode == 2
     assert "stale fingerprint" in proc.stderr
+
+
+def test_job_entry_incremental_chained(tmp_path):
+    """Two delta waves through the CLI: wave 1 persists its updated prior
+    with --update-checkpoint, wave 2 links against THAT — final table equals
+    the batch run over all three waves."""
+    import pandas as pd
+
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+    from biomedical_entity_linking_ray.synth import planted_files_from_docs
+
+    files = planted_files_from_docs("/root/testdata/sf0.001").materialize()
+    parts = {
+        "base": "commit == 'v0c0' or commit == 'v1c0'",
+        "d1": "commit == 'v2c0' or commit == 'v0c1'",
+        "d2": "commit == 'v1c1' or commit == 'v2c1'",
+    }
+    paths = {}
+    for name, expr in parts.items():
+        paths[name] = str(tmp_path / f"{name}_parquet")
+        files.filter(expr=expr).write_parquet(paths[name])
+
+    ck0 = str(tmp_path / "ck0")
+    ck1 = str(tmp_path / "ck1")
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+
+    def run(extra, name, want_rc=0):
+        out = str(tmp_path / f"{name}_out")
+        metrics = str(tmp_path / f"{name}_metrics.json")
+        cmd = [sys.executable, "-m", "biomedical_entity_linking_ray",
+               "--output", out, "--metrics-out", metrics,
+               "--num-cpus", "2", *extra]
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=600)
+        assert proc.returncode == want_rc, proc.stderr[-4000:]
+        if want_rc:
+            return proc.stderr, None
+        with open(metrics) as f:
+            return out, json.loads(f.read())
+
+    run(["--input", paths["base"], "--checkpoint-root", ck0], "w0")
+    _, m1 = run(["--input", paths["d1"], "--prior-checkpoint", ck0,
+                 "--update-checkpoint", ck1], "w1")
+    assert m1["incremental"]["updated_prior_root"] == ck1
+    out2, _ = run(["--input", paths["d2"], "--prior-checkpoint", ck1], "w2")
+
+    want = (run_linkage(files, LinkageConfig()).assignments.to_pandas()
+            .sort_values("file_id").reset_index(drop=True))
+    got = (pq.read_table(out2).to_pandas()
+           .sort_values("file_id").reset_index(drop=True))
+    cols = ["file_id", "cluster_id", "canonical_id", "content_sha"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+    # guard rails: writeback onto the derivation root / flag without mode
+    err, _ = run(["--input", paths["d2"], "--prior-checkpoint", ck1,
+                  "--update-checkpoint", ck1], "bad1", want_rc=2)
+    assert "fresh root" in err
+    err, _ = run(["--input", paths["d2"], "--update-checkpoint",
+                  str(tmp_path / "x")], "bad2", want_rc=2)
+    assert "only applies to incremental" in err
