@@ -145,6 +145,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 delta, prior_from_result(prior), LinkageConfig())
         return _PLANTED_CACHE[key].assignments
 
+    def linkage_incremental_chained(sf_dir: str):
+        """Day-over-day chaining: TWO delta waves, the second linking against
+        the FIRST wave's updated prior (prior_from_incremental — base reps ∪
+        wave-1 new-content reps, sticky across waves). Wave 2's v2c1 files
+        share content with wave 1's v2c0, so its reps resolve only through
+        the updated prior, not the base run. The final table must equal the
+        batch run over all three waves, so it shares linkage_assignments'
+        closed-form planted-corpus oracle."""
+        from biomedical_entity_linking_ray.config import LinkageConfig
+        from biomedical_entity_linking_ray.pipelines.incremental import (
+            prior_from_incremental, prior_from_result,
+            run_linkage_incremental)
+        from biomedical_entity_linking_ray.pipelines.linkage import run_linkage
+        from biomedical_entity_linking_ray.synth import planted_files_from_docs
+
+        key = ("inc2", sf_dir)
+        if key not in _PLANTED_CACHE:
+            files = planted_files_from_docs(sf_dir).materialize()
+            base = files.filter(
+                expr="commit == 'v0c0' or commit == 'v1c0'").materialize()
+            d1 = files.filter(
+                expr="commit == 'v2c0' or commit == 'v0c1'").materialize()
+            d2 = files.filter(
+                expr="commit == 'v1c1' or commit == 'v2c1'").materialize()
+            prior = run_linkage(base, LinkageConfig())
+            inc1 = run_linkage_incremental(
+                d1, prior_from_result(prior), LinkageConfig())
+            _PLANTED_CACHE[key] = run_linkage_incremental(
+                d2, prior_from_incremental(inc1), LinkageConfig())
+        return _PLANTED_CACHE[key].assignments
+
     def linkage_synth_assignments(sf_dir: str):
         """Default config over the adversarial synthetic files corpus (hot
         vendored block > salt_cap, hard negatives, cross-lang decoys) --
@@ -408,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental lifecycle: base clustered first, delta linked against
         # the frozen prior -- must equal the batch run, same planted oracle
         "linkage_incremental": linkage_incremental,
+        # two chained waves, wave 2 against wave 1's updated prior
+        "linkage_incremental_chained": linkage_incremental_chained,
         "linkage_cluster_sizes": linkage_cluster_sizes,
         "linkage_synth_assignments": linkage_synth_assignments,
         "linkage_exact_docs": linkage_exact_docs,
@@ -1482,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
     # (no touched block crosses the pair-enumeration caps on this corpus),
     # so it shares the same closed-form oracle verbatim
     out["linkage_incremental"] = out["linkage_assignments"]
+    out["linkage_incremental_chained"] = out["linkage_assignments"]
     out["linkage_cluster_sizes"] = _planted_files + """
         , asn AS (
           SELECT min(file_id) OVER (PARTITION BY d) AS cluster_id, 'txt' AS lang
