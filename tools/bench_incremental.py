@@ -182,6 +182,20 @@ def main() -> None:
     n_inc_b = inc_b.assignments.count()
     t_inc_b = round(time.time() - t0, 3)
 
+    # chaining writeback: persisting the updated prior re-writes the FULL
+    # assignment table + reps as parquet (corpus-proportional IO, the honest
+    # cost of making the next wave durable) — measured separately so the
+    # delta-proportional increment and the corpus-proportional writeback are
+    # never conflated
+    from biomedical_entity_linking_ray.pipelines.incremental import (
+        checkpoint_prior)
+
+    root_next = root_b + "_next"
+    shutil.rmtree(root_next, ignore_errors=True)
+    t0 = time.time()
+    checkpoint_prior(inc_b, root_next, cfg)
+    t_writeback = round(time.time() - t0, 3)
+
     print(json.dumps({
         "metric": "incremental linkage vs batch rerun",
         "worst_case_random_delta": {
@@ -214,6 +228,10 @@ def main() -> None:
             "speedup_vs_rerun": round(t_full / t_inc_b, 2) if t_inc_b else None,
             "speedup_vs_durable_rerun":
                 round(t_full_ckpt / t_inc_b, 2) if t_inc_b else None,
+            "sec_prior_writeback": t_writeback,
+            "speedup_vs_durable_rerun_incl_writeback":
+                round(t_full_ckpt / (t_inc_b + t_writeback), 2)
+                if t_inc_b else None,
             "stats": {k: v for k, v in inc_b.stats.items()},
         },
         "factor": factor, "num_cpus": ncpu,
