@@ -59,6 +59,39 @@ def cached_broadcast(ref, transform=None):
     return v
 
 
+def broadcast_attach_column(
+    ds: "ray.data.Dataset",
+    df,
+    key_col: str,
+    val_col: str,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Attach `df[val_col]` onto `ds` rows by exact `key_col` match — the
+    broadcast analog of an inner join on a COVERING map: ray.put the two
+    columns once as numpy arrays, build ONE pandas Index hashtable per
+    worker (cached_broadcast), then O(batch) vectorized `get_indexer` probes
+    per batch instead of a per-row Python dict loop. Fails loudly if a batch
+    key is absent from the map (the dict loop's KeyError, vectorized)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    out_col = out_col or val_col
+    ref = _ray.put((df[key_col].to_numpy(), df[val_col].to_numpy()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        idx, vals = cached_broadcast(
+            ref, transform=lambda kv: (pd.Index(kv[0]), kv[1]))
+        pos = idx.get_indexer(t[key_col].to_numpy(zero_copy_only=False))
+        if len(pos) and not (pos >= 0).all():
+            missing = t[key_col].to_pylist()[int(np.argmin(pos))]
+            raise KeyError(f"{key_col}={missing!r} absent from broadcast map")
+        return t.append_column(out_col, pa.array(vals[pos], pa.string()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

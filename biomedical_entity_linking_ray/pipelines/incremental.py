@@ -59,7 +59,8 @@ from biomedical_entity_linking_ray.config import (
 from biomedical_entity_linking_ray.functions.groups import (
     bucketed_aggregate, bucketed_distinct)
 from biomedical_entity_linking_ray.functions.joins import (
-    bloom_anti_join, bloom_semi_join, cached_broadcast, hash_join,
+    bloom_anti_join, bloom_semi_join, broadcast_attach_column,
+    cached_broadcast, hash_join,
     heal_projection)
 from biomedical_entity_linking_ray.stages import blocking, clustering, normalize
 from biomedical_entity_linking_ray.pipelines.linkage import _FULL_SCHEMA
@@ -271,16 +272,8 @@ def run_linkage_incremental(
         new_rep_vals = new_sha_rep_df["rep_id"].to_numpy()
         delta_id_vals = ddf["file_id"].unique()
         n_delta_ids = len(delta_id_vals)
-        rep_ref = ray.put(sha_rep_df)
-
-        def attach_rep(t: pa.Table) -> pa.Table:
-            m = cached_broadcast(
-                rep_ref, lambda df: dict(zip(df["content_sha"], df["rep_id"])))
-            reps_col = [m[s] for s in t["content_sha"].to_pylist()]
-            return t.append_column("rep_id", pa.array(reps_col, pa.string()))
-
-        members_delta = dfeats.map_batches(
-            attach_rep, batch_format="pyarrow").materialize()
+        members_delta = broadcast_attach_column(
+            dfeats, sha_rep_df, "content_sha", "rep_id").materialize()
         reps_delta_new = _isin_filter(
             dfeats, "file_id", new_rep_vals, n_new_shas, cfg, keep=True,
         ).materialize()
@@ -316,18 +309,9 @@ def run_linkage_incremental(
         # shape); beyond the broadcast bound this is the exact_contract
         # hash-join shape
         if n_dsha <= cfg.broadcast_side_max:
-            rep_ref = ray.put(sha_rep.to_pandas())
-
-            def attach_rep(t: pa.Table) -> pa.Table:
-                m = cached_broadcast(
-                    rep_ref,
-                    lambda df: dict(zip(df["content_sha"], df["rep_id"])))
-                reps_col = [m[s] for s in t["content_sha"].to_pylist()]
-                return t.append_column(
-                    "rep_id", pa.array(reps_col, pa.string()))
-
-            members_delta = dfeats.map_batches(
-                attach_rep, batch_format="pyarrow").materialize()
+            members_delta = broadcast_attach_column(
+                dfeats, sha_rep.to_pandas(), "content_sha", "rep_id",
+            ).materialize()
         else:
             members_delta = hash_join(
                 dfeats, sha_rep, "inner", P, on=("content_sha",)).materialize()

@@ -36,10 +36,6 @@ def exact_contract(
     from biomedical_entity_linking_ray.functions.joins import hash_join, heal_projection
     from biomedical_entity_linking_ray.stages.normalize import FEATURE_SCHEMA
 
-    import ray as _ray
-
-    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
-
     P = effective_partitions(cfg)
     sha_rep = bucketed_aggregate(
         feats.select_columns(["content_sha", "file_id"]),
@@ -48,17 +44,13 @@ def exact_contract(
     ).materialize()
     mem_schema = FEATURE_SCHEMA.append(pa.field("rep_id", pa.string()))
     if sha_rep.count() <= cfg.broadcast_side_max:
-        # broadcast fast path: sha -> rep map ray.put once, dict built once
-        # per worker, vectorized attach per batch (no join actor fleet)
-        rep_ref = _ray.put(sha_rep.to_pandas())
+        # broadcast fast path: sha -> rep arrays ray.put once, ONE pandas
+        # Index hashtable per worker, vectorized get_indexer per batch
+        from biomedical_entity_linking_ray.functions.joins import (
+            broadcast_attach_column)
 
-        def attach(t: pa.Table) -> pa.Table:
-            m = cached_broadcast(
-                rep_ref, lambda df: dict(zip(df["content_sha"], df["rep_id"])))
-            reps_col = [m[s] for s in t["content_sha"].to_pylist()]
-            return t.append_column("rep_id", pa.array(reps_col, pa.string()))
-
-        joined = feats.map_batches(attach, batch_format="pyarrow").materialize()
+        joined = broadcast_attach_column(
+            feats, sha_rep.to_pandas(), "content_sha", "rep_id").materialize()
     else:
         joined = hash_join(
             feats, sha_rep, "inner", P, on=("content_sha",)
