@@ -87,7 +87,7 @@ def broadcast_attach_column(
         if len(pos) and not (pos >= 0).all():
             missing = t[key_col].to_pylist()[int(np.argmin(pos))]
             raise KeyError(f"{key_col}={missing!r} absent from broadcast map")
-        return t.append_column(out_col, pa.array(vals[pos], pa.string()))
+        return t.append_column(out_col, pa.array(vals[pos]))
 
     return ds.map_batches(attach, batch_format="pyarrow")
 

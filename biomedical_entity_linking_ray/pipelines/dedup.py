@@ -57,18 +57,12 @@ def exact_dedup(sf_dir: str, broadcast_max: int = 500_000) -> "ray.data.Dataset"
     canon = keyed.groupby("sha").aggregate(
         Min("doc_id", alias_name="canonical_id")).materialize()
     if canon.count() <= broadcast_max:
-        ref = _ray.put(canon.to_pandas())
+        from biomedical_entity_linking_ray.functions.joins import (
+            broadcast_attach_column)
 
-        def attach(t: pa.Table) -> pa.Table:
-            m = cached_broadcast(
-                ref, lambda df: dict(zip(df["sha"], df["canonical_id"])))
-            return pa.table({
-                "doc_id": t["doc_id"],
-                "canonical_id": pa.array(
-                    [m[s] for s in t["sha"].to_pylist()], pa.int64()),
-            })
-
-        return keyed.map_batches(attach, batch_format="pyarrow")
+        return broadcast_attach_column(
+            keyed, canon.to_pandas(), "sha", "canonical_id",
+        ).select_columns(["doc_id", "canonical_id"])
     return hash_join(keyed, canon, "inner", 8, on=("sha",)).select_columns(
         ["doc_id", "canonical_id"]
     )
