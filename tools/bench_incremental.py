@@ -96,6 +96,76 @@ def main() -> None:
         }))
         ray.shutdown()
         return
+    if os.environ.get("GRAFT_INC_WAVES"):
+        # chained-wave scenario: W consecutive novel-content deltas, each
+        # linking against the PREVIOUS wave's written-back prior. Checks the
+        # production property the one-shot scenarios can't: per-wave wall
+        # stays flat (delta-proportional work + slowly-growing prior scans),
+        # reps grow only by each wave's new content, and no state leaks
+        # across waves (cluster count grows by exactly the novel groups).
+        import hashlib
+        import shutil
+
+        from biomedical_entity_linking_ray.pipelines.incremental import (
+            checkpoint_prior)
+
+        waves = int(os.environ.get("GRAFT_INC_WAVES"))
+        n_wave = int(os.environ.get("GRAFT_WAVE_ROWS", "2054"))
+        d = materialize_corpus(
+            SynthConfig().scaled(factor, content_scale=content_scale),
+            shards=24 if factor > 20 else 1)
+        files = rd.read_parquet(os.path.join(d, "files.parquet"),
+                                override_num_blocks=max(32, ncpu * 2))
+        cfg = LinkageConfig()
+        root = os.environ.get("GRAFT_INC_CKPT", "/tmp/bench_inc_waves")
+        shutil.rmtree(root, ignore_errors=True)
+        roots = [f"{root}/w{i}" for i in range(waves + 1)]
+        t0 = time.time()
+        run_linkage(files, cfg, checkpoint_root=roots[0])
+        t_base = round(time.time() - t0, 3)
+
+        def wave_rows(w: int) -> pa.Table:
+            rows = {"repo": [], "path": [], "commit": [], "lang": [],
+                    "content": []}
+            for i in range(n_wave):
+                j = i - (i % 8 == 7)  # every 8th row exact-dups its predecessor
+                rows["repo"].append("incoming")
+                rows["path"].append(f"drop/w{w}/d{j}.txt")
+                rows["commit"].append(f"c{i}")
+                rows["lang"].append("python")
+                rows["content"].append(" ".join(
+                    hashlib.sha256(f"wave:{w}:{j}:{t}".encode()).hexdigest()
+                    for t in range(24 * int(content_scale))))
+            return pa.table(rows)
+
+        per_wave = []
+        for w in range(1, waves + 1):
+            delta = rd.from_arrow(wave_rows(w)).materialize()
+            prior = prior_from_checkpoint(roots[w - 1], cfg)
+            t0 = time.time()
+            inc = run_linkage_incremental(delta, prior, cfg)
+            n_out = inc.assignments.count()
+            t_inc = round(time.time() - t0, 3)
+            t0 = time.time()
+            checkpoint_prior(inc, roots[w], cfg)
+            t_wb = round(time.time() - t0, 3)
+            reps_rows = json.load(open(
+                os.path.join(roots[w], "s1_reps", "manifest.json")))["rows"]
+            per_wave.append({
+                "wave": w, "rows_out": n_out, "reps": reps_rows,
+                "sec_incremental": t_inc, "sec_writeback": t_wb,
+                "n_new_shas": inc.stats["n_new_shas"],
+                "n_touched_clusters": inc.stats["n_touched_clusters"],
+            })
+        print(json.dumps({
+            "metric": "chained incremental waves",
+            "rows_base": files.count(), "rows_per_wave": n_wave,
+            "sec_base_batch_ckpt": t_base, "waves": per_wave,
+            "factor": factor, "num_cpus": ncpu,
+        }))
+        ray.shutdown()
+        return
+
     d = materialize_corpus(
         SynthConfig().scaled(factor, content_scale=content_scale),
         shards=24 if factor > 20 else 1)
