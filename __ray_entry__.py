@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         relational,
+        semantic,
         similarity,
         text_analysis,
     )
@@ -498,6 +499,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh_exhaustive": lambda sf_dir: dedup.embedding_near_dup_pairs(
             sf_dir, threshold=0.4, lsh_planes=0, rotations=1,
             all_pairs_max=1_000_000, dtype="float64"),
+        # --- semantic curation (embedding-space clustering + SemDeDup) ---
+        # distributed spherical k-means; the rounding contract makes the
+        # Lloyd loop deterministic, so the SQL oracle unrolls it closed-form
+        "kmeans_embeddings": semantic.kmeans_embeddings,
+        # SemDeDup (Abbas et al. 2023): in-cluster cosine prune, keep-lowest-id
+        "semdedup": lambda sf_dir: semantic.semdedup(sf_dir, tau=0.3),
+        # corpus-trained add-one bigram LM score (CCNet's KenLM slot)
+        "lm_quality": semantic.lm_quality,
         # --- multimodal (real stdlib codecs: PNG/PPM, WAV, framed clips) ---
         "image_features": multimodal.image_feature_pipeline,
         "audio_features": multimodal.audio_feature_pipeline,
@@ -966,6 +975,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
     """
     out["embedding_near_dup_lsh_exhaustive"] = out["embedding_near_dup"]
+    # unrolled-Lloyd closed-form oracles (pipelines/semantic.py builders)
+    from biomedical_entity_linking_ray.pipelines.semantic import (
+        LM_QUALITY_SQL, kmeans_sql, semdedup_sql)
+
+    out["kmeans_embeddings"] = kmeans_sql()
+    out["semdedup"] = semdedup_sql(tau=0.3)
+    out["lm_quality"] = LM_QUALITY_SQL
     out["knn_label_recall"] = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
