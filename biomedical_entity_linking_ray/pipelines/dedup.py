@@ -26,6 +26,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from biomedical_entity_linking_ray.functions import hashing
+from biomedical_entity_linking_ray.functions.vectors import list_column_to_matrix
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
@@ -483,7 +484,7 @@ def embedding_near_dup_exact(
     @_ray.remote
     def load(i: int):
         t = pq.ParquetFile(path).read_row_group(i, columns=["vec_id", "embedding"])
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V = list_column_to_matrix(t["embedding"], np.float64)
         nrm = np.linalg.norm(V, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         return t["vec_id"].to_numpy(), V / nrm
@@ -546,7 +547,7 @@ def embedding_near_dup_pairs(
     planes_ref = _ray.put(planes)
 
     def unitize(t: pa.Table) -> pa.Table:
-        vecs = np.array(t["embedding"].to_pylist(), dtype=dtype)
+        vecs = list_column_to_matrix(t["embedding"], dtype)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms

@@ -46,6 +46,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from biomedical_entity_linking_ray.functions.vectors import list_column_to_matrix
+
 
 # ---------------------------------------------------------------------------
 # spherical k-means over the embeddings table
@@ -110,7 +112,7 @@ def assign_to_centroids(emb: "ray.data.Dataset", C: np.ndarray) -> "ray.data.Dat
         from biomedical_entity_linking_ray.functions.joins import cached_broadcast
 
         Cb = cached_broadcast(ref)
-        unit = _unitize_f64(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        unit = _unitize_f64(list_column_to_matrix(t["embedding"]))
         cos = _cosine_to_centroids(unit, Cb)
         assign = np.argmax(cos, axis=1)
         return pa.table({
@@ -135,7 +137,7 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
             from biomedical_entity_linking_ray.functions.joins import cached_broadcast
 
             Cb = cached_broadcast(_ref)
-            unit = _unitize_f64(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+            unit = _unitize_f64(list_column_to_matrix(t["embedding"]))
             assign = np.argmax(_cosine_to_centroids(unit, Cb), axis=1)
             sums = np.zeros((len(Cb), dim), dtype=np.float64)
             np.add.at(sums, assign, unit)
@@ -193,7 +195,7 @@ def semdedup(
     assigned = assign_to_centroids(emb, C).select_columns(["vec_id", "cluster_id"])
 
     def unitize(t: pa.Table) -> pa.Table:
-        unit = _unitize_f64(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        unit = _unitize_f64(list_column_to_matrix(t["embedding"]))
         return pa.table({
             "vec_id": t["vec_id"],
             "unit": pa.array([unit[i].tobytes() for i in range(len(unit))],
@@ -244,6 +246,9 @@ def semdedup(
 
 # ---------------------------------------------------------------------------
 # SQL oracles: the Lloyd loop is deterministic under the rounding contract,
+# and every CTE is MATERIALIZED -- without it DuckDB re-inlines the chain at
+# each reference and the unrolled iterations blow up combinatorially
+# (measured at sf0.01: semdedup 352 s -> 0.4 s, kmeans 24 s -> 0.1 s).
 # so the whole iteration unrolls into a closed-form CTE chain (same device as
 # analytics._hll_sql oracling the sketch itself).
 # ---------------------------------------------------------------------------
@@ -252,7 +257,7 @@ def _kmeans_cte(k: int, iters: int) -> str:
     """CTE chain ending in `afin(vec_id, cluster_id, cosine)` -- the exact
     unrolled spherical k-means under the module's determinism contract."""
     head = f"""
-        uv AS (
+        uv AS MATERIALIZED (
             SELECT vec_id, emb,
                    CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm
             FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -260,16 +265,16 @@ def _kmeans_cte(k: int, iters: int) -> str:
                                                  embedding::DOUBLE[])) AS nrm
                   FROM embeddings)
         ),
-        up AS (
+        up AS MATERIALIZED (
             SELECT vec_id, i, emb[i] / nrm AS u
             FROM (SELECT vec_id, emb, nrm,
                          unnest(range(1, len(emb) + 1)) AS i FROM uv)
         ),
-        seeds AS (
+        seeds AS MATERIALIZED (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, vec_id
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
         ),
-        c0v AS (
+        c0v AS MATERIALIZED (
             SELECT seeds.cidx, up.i, ROUND(up.u, 6) AS v
             FROM seeds JOIN up USING (vec_id)
         )"""
@@ -278,8 +283,8 @@ def _kmeans_cte(k: int, iters: int) -> str:
         c, a, cn = f"c{t}v", f"a{t + 1}", f"n{t + 1}"
         m, mn, cnew = f"m{t + 1}", f"mn{t + 1}", f"c{t + 1}v"
         parts.append(f"""
-        {cn} AS (SELECT cidx, sqrt(SUM(v * v)) AS cnrm FROM {c} GROUP BY cidx),
-        {a} AS (
+        {cn} AS MATERIALIZED (SELECT cidx, sqrt(SUM(v * v)) AS cnrm FROM {c} GROUP BY cidx),
+        {a} AS MATERIALIZED (
             SELECT vec_id, cidx FROM (
                 SELECT s.vec_id, s.cidx,
                        ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
@@ -291,12 +296,12 @@ def _kmeans_cte(k: int, iters: int) -> str:
                 JOIN {cn} n USING (cidx)
             ) WHERE rn = 1
         ),
-        {m} AS (
+        {m} AS MATERIALIZED (
             SELECT {a}.cidx, up.i, AVG(up.u) AS mv
             FROM {a} JOIN up USING (vec_id) GROUP BY 1, 2
         ),
-        {mn} AS (SELECT cidx, sqrt(SUM(mv * mv)) AS mnrm FROM {m} GROUP BY cidx),
-        {cnew} AS (
+        {mn} AS MATERIALIZED (SELECT cidx, sqrt(SUM(mv * mv)) AS mnrm FROM {m} GROUP BY cidx),
+        {cnew} AS MATERIALIZED (
             SELECT {m}.cidx, {m}.i,
                    ROUND(mv / CASE WHEN mnrm = 0 THEN 1.0 ELSE mnrm END, 6) AS v
             FROM {m} JOIN {mn} USING (cidx)
@@ -306,8 +311,8 @@ def _kmeans_cte(k: int, iters: int) -> str:
         )""")
     c, cn = f"c{iters}v", "nfin"
     parts.append(f"""
-        {cn} AS (SELECT cidx, sqrt(SUM(v * v)) AS cnrm FROM {c} GROUP BY cidx),
-        afin AS (
+        {cn} AS MATERIALIZED (SELECT cidx, sqrt(SUM(v * v)) AS cnrm FROM {c} GROUP BY cidx),
+        afin AS MATERIALIZED (
             SELECT vec_id, cidx AS cluster_id, cos AS cosine FROM (
                 SELECT s.vec_id, s.cidx,
                        ROUND(s.dot / CASE WHEN n.cnrm = 0 THEN 1.0
@@ -331,7 +336,7 @@ def kmeans_sql(k: int = 8, iters: int = 3) -> str:
 
 def semdedup_sql(k: int = 8, iters: int = 3, tau: float = 0.92) -> str:
     return ("WITH " + _kmeans_cte(k, iters) + f""",
-        drops AS (
+        drops AS MATERIALIZED (
             SELECT DISTINCT b.vec_id
             FROM afin a JOIN afin b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
@@ -346,21 +351,21 @@ def semdedup_sql(k: int = 8, iters: int = 3, tau: float = 0.92) -> str:
 
 
 LM_QUALITY_SQL = """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
         FROM documents
     ),
-    uni AS (
+    uni AS MATERIALIZED (
         SELECT w1, COUNT(*) AS cu
         FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
     ),
-    vocab AS (SELECT COUNT(*) AS v FROM uni),
-    big AS (
+    vocab AS MATERIALIZED (SELECT COUNT(*) AS v FROM uni),
+    big AS MATERIALIZED (
         SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS gram
         FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
     ),
-    bcnt AS (SELECT gram, COUNT(*) AS cb FROM big GROUP BY gram),
-    scored AS (
+    bcnt AS MATERIALIZED (SELECT gram, COUNT(*) AS cb FROM big GROUP BY gram),
+    scored AS MATERIALIZED (
         SELECT big.doc_id,
                ln((bcnt.cb + 1.0) / (uni.cu + vocab.v)) AS lp
         FROM big JOIN bcnt USING (gram) JOIN uni USING (w1) CROSS JOIN vocab

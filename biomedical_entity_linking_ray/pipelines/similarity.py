@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from biomedical_entity_linking_ray.functions.vectors import list_column_to_matrix
+
 
 def _read_embeddings(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
@@ -71,7 +73,7 @@ def knn_bruteforce(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, Qu_ = ray.get(q_ref)
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V = list_column_to_matrix(t["embedding"], np.float64)
         vn = np.linalg.norm(V, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         Vu = V / vn
@@ -161,7 +163,7 @@ def knn_ivf(
     # --- train (pruned sample; falls back to full read only if ids sparse) ---
     t = pq.read_table(path, columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", train_rows)])
-    X = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    X = list_column_to_matrix(t["embedding"], np.float32)
     xn = np.linalg.norm(X, axis=1, keepdims=True)
     xn[xn == 0] = 1.0
     X = X / xn
@@ -180,7 +182,7 @@ def knn_ivf(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, Qu_, C_, qp = ray.get(bc)
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V = list_column_to_matrix(t["embedding"], np.float64)
         vn = np.linalg.norm(V, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         Vu = V / vn
@@ -277,7 +279,7 @@ def knn_lsh(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, Qu_, planes_, qcodes_ = ray.get(bc_ref)
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V = list_column_to_matrix(t["embedding"], np.float64)
         vn = np.linalg.norm(V, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         Vu = V / vn

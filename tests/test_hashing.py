@@ -158,3 +158,29 @@ def test_hex16_batch_matches_format():
     want = np.array([f"{int(v):016x}" for v in vals], dtype="U16")
     assert np.array_equal(got, want)
     assert hashing.hex16_batch(np.empty(0, dtype=np.uint64)).shape == (0,)
+
+
+def test_list_column_to_matrix_matches_topylist_and_guards():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from biomedical_entity_linking_ray.functions.vectors import list_column_to_matrix
+
+    rng = np.random.RandomState(7)
+    m = rng.randn(50, 8).astype(np.float32)
+    col = pa.chunked_array([pa.array(list(m[:20]), pa.list_(pa.float32())),
+                            pa.array(list(m[20:]), pa.list_(pa.float32()))])
+    for dt in (np.float64, np.float32):
+        want = np.array(col.to_pylist(), dtype=dt)
+        got = list_column_to_matrix(col, dt)
+        assert got.dtype == dt and np.array_equal(want, got)
+    # sliced input: offsets no longer start at 0
+    sl = col.combine_chunks().slice(3, 10)
+    assert np.array_equal(list_column_to_matrix(sl, np.float64),
+                          np.array(sl.to_pylist(), dtype=np.float64))
+    assert list_column_to_matrix(pa.array([], pa.list_(pa.float32()))).size == 0
+    with pytest.raises(ValueError, match="ragged"):
+        list_column_to_matrix(pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64())))
+    with pytest.raises(ValueError, match="null"):
+        list_column_to_matrix(pa.array([[1.0], None], pa.list_(pa.float64())))
