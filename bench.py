@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     # sub-document dedup family (round 3): ExactSubstr at word 8-grams
     "substring_dedup",
     "knn_bruteforce",
+    # semantic-curation family (round 4): 3 Lloyd partial-sum passes +
+    # cluster-scoped cosine prune (SemDeDup)
+    "semdedup",
     # temporal-join family (round 3): banded range self-join over events
     "events_nearby",
     # the synthetic-corpus flagship: the SAME workload BENCH_r01/r02 timed
