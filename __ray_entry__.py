@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         relational,
+        selection,
         semantic,
         similarity,
         text_analysis,
@@ -545,6 +546,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics over the near-dup graph: per-node triangle counts
         # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
+        # --- training-data selection (new in round 4) ---
+        # leakage-safe split: whole near-dup clusters land in one split
+        "cluster_split": selection.cluster_split,
+        # DSIR hashed-ngram importance weights + deterministic top-k select
+        "dsir_weights": selection.dsir_log_weights,
+        "dsir_select": selection.dsir_select,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,
@@ -1283,6 +1290,122 @@ def oracle_sql() -> dict[str, str]:
 
     out["minhash_dedup"] = _closure_sql(out["minhash_near_dup"])
     out["simhash_dedup"] = _closure_sql(out["simhash_near_dup"])
+
+    # --- training-data selection oracles (pipelines/selection.py) ---
+    # shared splitmix64 CTE chain over an arbitrary source/expression (same
+    # constants and shift literals as functions/hashing.splitmix64)
+    def _sm64_cte(pfx: str, src: str, xexpr: str, carry: list[str]) -> str:
+        sel = (", ".join(carry) + ", ") if carry else ""
+        return f"""
+        {pfx}0 AS (SELECT {sel}(({xexpr})
+                   + 11400714819323198485::HUGEINT) % {M} AS x FROM {src}),
+        {pfx}1 AS (SELECT {sel}{_mulmod('xor(x, x // 1073741824::HUGEINT)', 0xBF58476D1CE4E5B9)} AS x FROM {pfx}0),
+        {pfx}2 AS (SELECT {sel}{_mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x FROM {pfx}1),
+        {pfx}h AS (SELECT {sel}xor(x, x // 2147483648::HUGEINT) AS hv FROM {pfx}2)"""
+
+    # leakage-safe cluster split: the SAME closure as minhash_dedup yields
+    # (doc_id, canonical_id); split = splitmix64(canonical ^ seed) against
+    # exact uint64 thresholds (floor(0.8*2^64), floor(0.9*2^64) -- the
+    # literals in selection.T_TRAIN_DEFAULT/T_VAL_DEFAULT)
+    from biomedical_entity_linking_ray.pipelines.selection import (
+        T_TRAIN_DEFAULT, T_VAL_DEFAULT)
+    out["cluster_split"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({out["minhash_near_dup"]}) q
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    comp(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT c.a, e.b FROM comp c JOIN edges e ON c.b = e.a
+    ),
+    asg AS (
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(c.b), d.doc_id)) AS BIGINT)
+                   AS canonical_id
+        FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    {_sm64_cte('cs', 'asg', 'xor(canonical_id::HUGEINT, 42::HUGEINT)',
+               ['doc_id', 'canonical_id'])}
+    SELECT doc_id, canonical_id,
+           CASE WHEN hv < {T_TRAIN_DEFAULT}::HUGEINT THEN 'train'
+                WHEN hv < {T_VAL_DEFAULT}::HUGEINT THEN 'val'
+                ELSE 'test' END AS split
+    FROM csh
+    """
+
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # bag-of-ngrams, target = lang 'en' vs raw = all docs, add-one
+    # smoothing, ROUND(.,4) like the cosine oracles. Token hash = one
+    # splitmix64 over the first-8-bytes little-endian packing (tokens are
+    # pure ASCII by the [a-z0-9_]+ tokenizer, so unicode(char) == byte);
+    # bigram hash mixes the two token hashes via a ^ rotr1(b) then one more
+    # splitmix64 -- all literals shared with selection._doc_features.
+    _pk = " + ".join(
+        f"(CASE WHEN length(tok) >= {j + 1} THEN "
+        f"unicode(tok[{j + 1}:{j + 1}])::HUGEINT ELSE 0::HUGEINT END)"
+        f" * {256 ** j}::HUGEINT"
+        for j in range(8))
+    _dsir_weights = f"""
+    WITH lists AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, lang, unnest(w) AS tok,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM lists
+    ),
+    {_sm64_cte('dsu', 'toks', _pk, ['doc_id', 'lang', 'pos'])},
+    bpair AS (
+        SELECT a.doc_id, a.lang,
+               xor(a.hv, (b.hv // 2
+                          + (b.hv % 2) * 9223372036854775808::HUGEINT)) AS y
+        FROM dsuh a JOIN dsuh b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    {_sm64_cte('dsb', 'bpair', 'y', ['doc_id', 'lang'])},
+    feats AS (
+        SELECT doc_id, lang, (hv % 4096)::BIGINT AS bucket FROM dsuh
+        UNION ALL
+        SELECT doc_id, lang, (hv % 4096)::BIGINT AS bucket FROM dsbh
+    ),
+    tot AS (
+        SELECT count(*) AS tq,
+               count(*) FILTER (WHERE lang = 'en') AS tt
+        FROM feats
+    ),
+    cnt AS (
+        SELECT bucket, count(*) AS nq,
+               count(*) FILTER (WHERE lang = 'en') AS nt
+        FROM feats GROUP BY bucket
+    ),
+    r AS (
+        SELECT bucket,
+               ln(nt + 1) - ln(tt + 4096) - ln(nq + 1) + ln(tq + 4096) AS r
+        FROM cnt CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT f.doc_id, count(*) AS n_features,
+               ROUND(SUM(r.r), 4) AS log_weight
+        FROM feats f JOIN r USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_features, 0)::BIGINT AS n_features,
+           (COALESCE(p.log_weight, 0) + 0)::DOUBLE AS log_weight
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+    out["dsir_weights"] = _dsir_weights
+    out["dsir_select"] = f"""
+    SELECT doc_id, log_weight FROM ({_dsir_weights}) w
+    ORDER BY log_weight DESC, doc_id LIMIT 200
+    """
     # per-node triangle counts over the same oracled simhash pair graph:
     # id-ordered orientation, each triangle {u<v<w} found once at u
     out["near_dup_triangles"] = f"""
