@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     # semantic-curation family (round 4): 3 Lloyd partial-sum passes +
     # cluster-scoped cosine prune (SemDeDup)
     "semdedup",
+    # selection family (round 4): DSIR fit pass (bincount combiners) +
+    # streaming score pass over the corpus text
+    "dsir_weights",
     # temporal-join family (round 3): banded range self-join over events
     "events_nearby",
     # the synthetic-corpus flagship: the SAME workload BENCH_r01/r02 timed
