@@ -545,13 +545,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": dedup.ngram_dedup_assignments,
         # graph analytics over the near-dup graph: per-node triangle counts
         # (clique-vs-chain diagnostic for the dedup threshold)
-        "near_dup_triangles": dedup.near_dup_triangles,
         # --- training-data selection (new in round 4) ---
         # leakage-safe split: whole near-dup clusters land in one split
         "cluster_split": selection.cluster_split,
         # DSIR hashed-ngram importance weights + deterministic top-k select
+        # + the paper's Gumbel top-k resampler (deterministic noise)
         "dsir_weights": selection.dsir_log_weights,
         "dsir_select": selection.dsir_select,
+        "dsir_resample": selection.dsir_resample,
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,
@@ -615,6 +616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": relational.top_order_per_customer,
         "user_sessions": relational.user_sessions,
         "event_props_k": relational.event_props_k,
+        # graph analytics over the near-dup graph: per-node triangle counts
+        # (clique-vs-chain diagnostic for the dedup threshold; r3-green, so
+        # rotated behind the driver window to keep new queries checkable)
+        "near_dup_triangles": dedup.near_dup_triangles,
     }
 
 
@@ -1405,6 +1410,20 @@ def oracle_sql() -> dict[str, str]:
     out["dsir_select"] = f"""
     SELECT doc_id, log_weight FROM ({_dsir_weights}) w
     ORDER BY log_weight DESC, doc_id LIMIT 200
+    """
+    # Gumbel top-k resampling: deterministic noise from the SAME splitmix64
+    # chain over doc_id ^ 7; u = (hv + 0.5) / 2^64 promotes to double
+    # identically on both sides, key rounded to 4 decimals before ranking
+    out["dsir_resample"] = f"""
+    WITH w AS (SELECT doc_id, log_weight FROM ({_dsir_weights}) q),
+    {_sm64_cte('gk', 'w', 'xor(doc_id::HUGEINT, 7::HUGEINT)',
+               ['doc_id', 'log_weight'])}
+    SELECT doc_id, log_weight,
+           (ROUND(log_weight
+                  - ln(-ln((hv::DOUBLE + 0.5) / 18446744073709551616.0)),
+                  4) + 0)::DOUBLE AS gumbel_key
+    FROM gkh
+    ORDER BY gumbel_key DESC, doc_id LIMIT 200
     """
     # per-node triangle counts over the same oracled simhash pair graph:
     # id-ordered orientation, each triangle {u<v<w} found once at u

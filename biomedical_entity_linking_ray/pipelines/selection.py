@@ -240,3 +240,49 @@ def dsir_select(
     return (w.select_columns(["doc_id", "log_weight"])
              .sort(["log_weight", "doc_id"], descending=[True, False])
              .limit(k))
+
+
+_U64_DENOM = float(2**64)
+
+
+def dsir_resample(
+    sf_dir: str,
+    k: int = 200,
+    seed: int = 7,
+    target_lang: str = "en",
+    n_buckets: int = 4096,
+) -> "ray.data.Dataset":
+    """Gumbel top-k importance RESAMPLING -- the sampler the DSIR paper
+    actually uses (sampling k docs without replacement with probability
+    proportional to exp(log_weight), via the Gumbel-max trick).
+
+    gumbel_key = log_weight + g,  g = -ln(-ln(u)),
+    u = (splitmix64(doc_id ^ seed) + 0.5) / 2^64
+
+    The noise is a pure function of (doc_id, seed), so the sample is
+    deterministic across runs, partitionings and cluster sizes -- the same
+    contract every sampling operator in this engine honors -- and the
+    DuckDB oracle replays it exactly (same splitmix64 chain, same double
+    conversion, ROUND(.,4) on the key before ranking with doc_id
+    tiebreak).  Shape: one extra vectorized map over the (doc_id,
+    log_weight) stream + the same sort/limit top-k as dsir_select.
+    """
+    sd = np.uint64(seed)
+    w = dsir_log_weights(sf_dir, target_lang=target_lang, n_buckets=n_buckets)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = hashing.splitmix64(ids ^ sd)
+        u = (h.astype(np.float64) + 0.5) / _U64_DENOM
+        g = -np.log(-np.log(u))
+        lw = t["log_weight"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "log_weight": t["log_weight"],
+            "gumbel_key": pa.array(np.round(lw + g, 4) + 0.0),
+        })
+
+    return (w.select_columns(["doc_id", "log_weight"])
+             .map_batches(add_key, batch_format="pyarrow")
+             .sort(["gumbel_key", "doc_id"], descending=[True, False])
+             .limit(k))

@@ -31,7 +31,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", ["cluster_split", "dsir_weights",
-                                  "dsir_select"])
+                                  "dsir_select", "dsir_resample"])
 def test_selection_matches_oracle(name, con, ray_session):
     import __ray_entry__ as ent
 
@@ -93,6 +93,22 @@ def test_doc_features_bigram_boundary_mask():
         solo_b, solo_r = _doc_features([s], B)
         assert sorted(solo_b.tolist()) == mine
         assert solo_b.size == len(toks) + max(len(toks) - 1, 0)
+
+
+def test_dsir_resample_deterministic_and_seeded(ray_session):
+    """The Gumbel sample is a pure function of (doc_id, seed): identical
+    across runs, different under a different seed, and not simply the
+    greedy top-k (the noise must actually perturb the ranking)."""
+    from biomedical_entity_linking_ray.pipelines.selection import (
+        dsir_resample, dsir_select)
+
+    a = dsir_resample(SF_DIR, k=50).to_pandas()
+    b = dsir_resample(SF_DIR, k=50).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    c = dsir_resample(SF_DIR, k=50, seed=1234).to_pandas()
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()
+    greedy = dsir_select(SF_DIR, k=50).to_pandas()
+    assert set(a["doc_id"]) != set(greedy["doc_id"])
 
 
 def test_dsir_prefers_target_language(ray_session):
