@@ -108,9 +108,11 @@ def _pack8(tokens: list[str]) -> np.ndarray:
     if not tokens:
         return np.zeros(0, dtype=np.uint64)
     b = np.array(tokens, dtype="S8")  # ASCII by tokenizer construction
-    m = np.ascontiguousarray(b).view(np.uint8).reshape(-1, 8).astype(np.uint64)
-    shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
-    return np.bitwise_or.reduce(m << shifts, axis=1)
+    # an S8 element's 8 bytes ARE the little-endian uint64 packing: one
+    # zero-copy view instead of a (n, 8) shift matrix (measured 30x); the
+    # explicit '<u8' keeps the value platform-independent
+    return np.ascontiguousarray(b).view(np.dtype("<u8")).astype(
+        np.uint64, copy=False)
 
 
 def _doc_features(
