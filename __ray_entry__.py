@@ -542,9 +542,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product); the SQL oracle closes the pair graph with a recursive CTE
         "minhash_dedup": dedup.minhash_dedup_assignments,
         "simhash_dedup": dedup.simhash_dedup_assignments,
-        "ngram_dedup": dedup.ngram_dedup_assignments,
-        # graph analytics over the near-dup graph: per-node triangle counts
-        # (clique-vs-chain diagnostic for the dedup threshold)
         # --- training-data selection (new in round 4) ---
         # leakage-safe split: whole near-dup clusters land in one split
         "cluster_split": selection.cluster_split,
@@ -553,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": selection.dsir_log_weights,
         "dsir_select": selection.dsir_select,
         "dsir_resample": selection.dsir_resample,
+        # domain mixture sampling: name-derived integer weights (1 + N%3)
+        # so the sampled corpus follows a non-uniform source recipe
+        "domain_mix": lambda sf_dir: selection.domain_mix(
+            sf_dir, weights={f"src{i}": 1 + i % 3 for i in range(1024)}),
         # --- text analysis over documents ---
         "token_counts": text_analysis.token_counts,
         "top_bigrams": text_analysis.top_bigrams,
@@ -616,10 +617,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": relational.top_order_per_customer,
         "user_sessions": relational.user_sessions,
         "event_props_k": relational.event_props_k,
+        # r3-green entries rotated behind the driver window so new round-4
+        # queries stay checkable:
         # graph analytics over the near-dup graph: per-node triangle counts
-        # (clique-vs-chain diagnostic for the dedup threshold; r3-green, so
-        # rotated behind the driver window to keep new queries checkable)
+        # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
+        "ngram_dedup": dedup.ngram_dedup_assignments,
     }
 
 
@@ -1424,6 +1427,28 @@ def oracle_sql() -> dict[str, str]:
                   4) + 0)::DOUBLE AS gumbel_key
     FROM gkh
     ORDER BY gumbel_key DESC, doc_id LIMIT 200
+    """
+    # domain mixture sampling: per-source counts + name-derived integer
+    # weights (1 + N%3, the literal the registered query passes as a dict)
+    # -> exact integer thresholds (w*T*2^64)//n, decision replayed over the
+    # shared splitmix64(doc_id ^ 42) chain (_sm64)
+    out["domain_mix"] = _sm64 + """
+        , dm_cnt AS (
+            SELECT source, count(*) AS n,
+                   (1 + (CAST(substr(source, 4) AS INT) % 3))::HUGEINT AS w
+            FROM documents GROUP BY source
+        ), dm_tu AS (
+            SELECT MIN(n::HUGEINT // w) AS t FROM dm_cnt WHERE w > 0
+        ), dm_thr AS (
+            SELECT source,
+                   (w * (SELECT t FROM dm_tu)
+                      * 18446744073709551616::HUGEINT) // n::HUGEINT AS thr
+            FROM dm_cnt
+        )
+        SELECT d.doc_id, d.source
+        FROM hv JOIN documents d ON d.doc_id = hv.doc_id
+        JOIN dm_thr ON dm_thr.source = d.source
+        WHERE hv.hv < dm_thr.thr
     """
     # per-node triangle counts over the same oracled simhash pair graph:
     # id-ordered orientation, each triangle {u<v<w} found once at u

@@ -288,3 +288,72 @@ def dsir_resample(
              .map_batches(add_key, batch_format="pyarrow")
              .sort(["gumbel_key", "doc_id"], descending=[True, False])
              .limit(k))
+
+
+def domain_mix(
+    sf_dir: str,
+    weights: dict[str, int] | None = None,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """(doc_id, source): deterministic subsample whose SOURCE MIXTURE
+    follows the given integer weights -- the domain-reweighting step of an
+    LLM corpus recipe (the Pile / DoReMi-style mixture tables), as a
+    map-side filter.
+
+    Semantics: with per-source counts n_s and weights w_s (default 1;
+    sources absent from `weights` get 1, weight 0 excludes the source),
+    the feasible budget is T = min_s floor(n_s / w_s) "units", the
+    per-source target is w_s * T docs, and a doc survives iff
+    splitmix64(doc_id ^ seed) < (w_s * T * 2^64) // n_s.  All integer
+    arithmetic, so the SQL oracle replays the decision bit-for-bit; sampled
+    counts are Binomial around the target (the price of the zero-shuffle
+    hash-threshold design -- an exact-count variant would need a
+    per-source rank, i.e. a shuffle).
+
+    Scale shape: one combiner pass for the per-source count table (the
+    shuffle carries (source, partial_count) rows -- domains number in the
+    hundreds, not the billions), thresholds fold to a tiny driver dict,
+    and the filter itself is a pure map over the stream.
+    """
+    docs = read_documents(sf_dir, ["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(t["source"].to_pylist()).value_counts()
+        return pa.table({
+            "source": pa.array(vc.index.to_numpy(), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    cnt = bucketed_aggregate(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         batch_size=4096),
+        ["source"], {"n": ("n", "sum")},
+    ).to_pandas()
+    w = weights or {}
+    n_by_src = dict(zip(cnt["source"], cnt["n"].astype(int)))
+    per_unit = [n // w.get(s, 1) for s, n in n_by_src.items()
+                if w.get(s, 1) > 0]
+    t_units = min(per_unit) if per_unit else 0
+    # threshold as exact Python ints; stored as thr-1 so the uint64 compare
+    # below never has to represent 2^64 (thr == 2^64 means accept-all)
+    thr = {s: (w.get(s, 1) * t_units * 2**64) // n
+           for s, n in n_by_src.items()}
+    srcs = list(thr)
+    thr_m1 = np.array([max(thr[s], 1) - 1 for s in srcs], dtype=np.uint64)
+    nonzero = np.array([thr[s] > 0 for s in srcs], dtype=bool)
+    sd = np.uint64(seed)
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        idx = pd.Index(srcs).get_indexer(t["source"].to_pylist())
+        h = hashing.splitmix64(
+            t["doc_id"].to_numpy().astype(np.uint64) ^ sd)
+        keep = nonzero[idx] & (h <= thr_m1[idx])
+        sel = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({"doc_id": t["doc_id"].take(sel),
+                         "source": t["source"].take(sel)})
+
+    return docs.map_batches(pick, batch_format="pyarrow")

@@ -31,7 +31,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", ["cluster_split", "dsir_weights",
-                                  "dsir_select", "dsir_resample"])
+                                  "dsir_select", "dsir_resample",
+                                  "domain_mix"])
 def test_selection_matches_oracle(name, con, ray_session):
     import __ray_entry__ as ent
 
@@ -109,6 +110,33 @@ def test_dsir_resample_deterministic_and_seeded(ray_session):
     assert a["doc_id"].tolist() != c["doc_id"].tolist()
     greedy = dsir_select(SF_DIR, k=50).to_pandas()
     assert set(a["doc_id"]) != set(greedy["doc_id"])
+
+
+def test_domain_mix_follows_weights(ray_session):
+    """Sampled per-source counts track w_s * T within binomial noise;
+    weight-0 sources vanish; the sample is deterministic."""
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.selection import domain_mix
+
+    srcs = sorted(pq.read_table(f"{SF_DIR}/documents.parquet",
+                                columns=["source"])["source"].to_pylist())
+    n_by = pd.Series(srcs).value_counts()
+    w = {s: (2 if i % 2 == 0 else 1) for i, s in enumerate(sorted(n_by.index))}
+    w[sorted(n_by.index)[0]] = 0  # excluded domain
+    df = domain_mix(SF_DIR, weights=w).to_pandas()
+    assert sorted(n_by.index)[0] not in set(df["source"])
+    t_units = min(int(n_by[s]) // w[s] for s in n_by.index if w[s] > 0)
+    got = df["source"].value_counts()
+    for s in n_by.index:
+        if w[s] == 0:
+            continue
+        target = w[s] * t_units
+        # binomial tolerance: 4 sigma + 1
+        tol = 4 * np.sqrt(target) + 1
+        assert abs(int(got.get(s, 0)) - target) <= tol, (s, got.get(s), target)
+    again = domain_mix(SF_DIR, weights=w).to_pandas()
+    assert sorted(df["doc_id"]) == sorted(again["doc_id"])
 
 
 def test_dsir_prefers_target_language(ray_session):
