@@ -313,7 +313,7 @@ def union_order_extremes(sf_dir: str) -> "ray.data.Dataset":
 # A10/O1 analog: within-group ordered enumeration (mention-id assignment)
 # ---------------------------------------------------------------------------
 
-def lineitem_sequence(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+def lineitem_sequence(sf_dir: str, n_buckets: int | None = None) -> "ray.data.Dataset":
     """Per-order line sequencing by (shipdate, linenumber) -- the target-domain
     analog of per-document mention-id assignment (`make_mention_id`,
     bigbio_utils.py:122-127): ordering is needed only WITHIN a group, never
@@ -321,7 +321,10 @@ def lineitem_sequence(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     `n_buckets`, independent of order cardinality -- the per-group-overhead
     fix in functions/groups.py) and each bucket does ONE vectorized
     sort + groupby.cumcount over all its orders."""
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
+
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t["l_orderkey"].to_numpy().astype(np.uint64)
@@ -418,12 +421,15 @@ def events_stratified_sample(
 # D2 analog: rank-preserving dedup (first-occurrence order survives)
 # ---------------------------------------------------------------------------
 
-def order_flag_sequences(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+def order_flag_sequences(sf_dir: str, n_buckets: int | None = None) -> "ray.data.Dataset":
     """(l_orderkey, flag_seq): return flags in first-occurrence order along
     the (shipdate, linenumber) line sequence, duplicates dropped
     rank-preservingly (reference D2: deduplicate_candidates keeps first
     occurrence rank, evaluate.py:81-119; krissbert dedup_ids :48-56)."""
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
+
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t["l_orderkey"].to_numpy().astype(np.uint64)
@@ -497,13 +503,16 @@ def order_stats(sf_dir: str) -> "ray.data.Dataset":
 # A3 analog: grouped top-1 by rank (canonical-name selection shape)
 # ---------------------------------------------------------------------------
 
-def top_order_per_customer(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+def top_order_per_customer(sf_dir: str, n_buckets: int | None = None) -> "ray.data.Dataset":
     """(o_custkey, o_orderkey, o_totalprice): each customer's single
     highest-value order, ties broken by smallest order key (reference A3:
     rank-ordered first alias per cui, umls_utils.py:183-237 -- grouped top-1
     with a deterministic priority order). Bucketed by customer; one
     vectorized sort + drop_duplicates per bucket."""
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
+
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t["o_custkey"].to_numpy().astype(np.uint64)
@@ -554,7 +563,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 def user_sessions(
-    sf_dir: str, gap_minutes: int = 30, n_buckets: int = 64,
+    sf_dir: str, gap_minutes: int = 30, n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """(user_id, session_id, n_events, sum_value, session_start, session_end):
     consecutive events of a user closer than `gap_minutes` share a session.
@@ -562,7 +571,10 @@ def user_sessions(
     The gap rule needs per-user ORDER, not global order: users are
     hash-bucketed (one shuffle, bounded group count) and each bucket does one
     vectorized sort + shift/cumsum sessionization + groupby aggregate."""
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
+
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy().astype(np.uint64)

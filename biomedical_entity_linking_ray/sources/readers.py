@@ -347,7 +347,9 @@ def read_umls(umls_dir: str, lang: str = "ENG") -> "ray.data.Dataset":
 
     rows = conso.map_batches(attach_rank, batch_format="pyarrow")
 
-    n_buckets = 64
+    from biomedical_entity_linking_ray.config import default_buckets
+
+    n_buckets = default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = hashing.fnv1a_fixed(t["cui"].to_numpy(zero_copy_only=False), width=32)

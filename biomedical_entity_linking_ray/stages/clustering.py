@@ -295,7 +295,7 @@ def relabel_canonical(
     feats: "ray.data.Dataset | None" = None,
     policy="min_id",
     feature_cols: tuple = ("n_tokens",),
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     num_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """Post-pass: recompute canonical_id per cluster under a registered
@@ -306,8 +306,10 @@ def relabel_canonical(
     registrations reach every worker."""
     import pandas as pd
 
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
 
+    n_buckets = n_buckets or default_buckets()
     pol = resolve_canonical_policy(policy)
     ds = assignments.select_columns(["file_id", "cluster_id"])
     cols = ["file_id", "cluster_id"]

@@ -140,7 +140,7 @@ def attach_context_windows(
     spans: "ray.data.Dataset",
     docs: "ray.data.Dataset",
     window: int = 16,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Attach left/right word-window context around each span (reference M5:
     get_left_context/get_right_context, bigbio_utils.py:302-319 -- word
@@ -150,7 +150,10 @@ def attach_context_windows(
     group count) so the window slicing reads each document exactly once per
     bucket -- text never fans out per span.
     """
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
+
+    n_buckets = n_buckets or default_buckets()
 
     def tag(col):
         def fn(t: pa.Table) -> pa.Table:
@@ -217,7 +220,7 @@ def build_entity_descriptions(entities: "ray.data.Dataset") -> "ray.data.Dataset
 
 
 def filter_overlapping_spans(
-    spans: "ray.data.Dataset", n_buckets: int = 64,
+    spans: "ray.data.Dataset", n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Keep leftmost-longest non-overlapping spans per document (M13 analog:
     overlapping trie hits resolved keeping non-partial spans,
@@ -227,7 +230,10 @@ def filter_overlapping_spans(
     vectorized sort orders spans by (doc, start, -len) and a linear sweep
     drops any span starting before the previous kept span's end.
     """
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
+
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy().astype(np.uint64)

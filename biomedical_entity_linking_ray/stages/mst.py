@@ -33,13 +33,16 @@ def per_cluster_mst(
     edges: "ray.data.Dataset",
     assignments: "ray.data.Dataset",
     cfg: LinkageConfig,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """edges(id_a, id_b, score) x assignments(file_id, cluster_id) ->
     (cluster_id, id_a, id_b, score): max-score spanning forest per cluster.
 
     Label attach: broadcast map under `broadcast_labels_max`, hash join
     beyond (same bound policy as the flagship's final attach)."""
+    from biomedical_entity_linking_ray.config import default_buckets
+
+    n_buckets = n_buckets or default_buckets()
     P = effective_partitions(cfg)
     skinny = edges.select_columns(["id_a", "id_b", "score"])
 
