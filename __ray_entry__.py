@@ -523,20 +523,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir).select_columns(["doc_id", "duration_sec"]),
         "video_frame_index": lambda sf_dir: multimodal.video_frame_pipeline(
             sf_dir).select_columns(["doc_id", "frame_idx"]),
+        # --- new in round 4: fuzzy join / sketch heavy hitters / ANN self-join ---
+        # blocked Levenshtein self-join (blocking + batched edit-distance
+        # verify; the bounded-edit sibling of the flagship's Jaro-Winkler)
+        "fuzzy_name_pairs": similarity.fuzzy_name_join,
         # --- dedup family (r3-green; re-verified inside the window) ---
         "exact_dedup": dedup.exact_dedup,
-        # incremental dedup vs a reference corpus (Bloom map-side shortcut:
-        # filter misses are provably novel and never shuffle)
-        "novel_documents": dedup.novel_documents,
-        # test-set decontamination: training docs sharing no word 4-gram
-        # with the benchmark slice (map-side filter vs a broadcast gram set)
-        "decontaminated_documents": dedup.decontaminate_documents,
-        # CCNet/RefinedWeb-style paragraph-level dedup: drop every non-first
-        # occurrence of a duplicated paragraph, rebuild documents. The
-        # synthetic corpus is single-line, so the word-window segmenter
-        # (16-word parts) stands in for '\n' paragraphs; the SQL oracle
-        # replicates the same segmentation + global first-wins rule
-        "paragraph_dedup": dedup.paragraph_dedup,
         # end-to-end fuzzy dedup: MinHash pairs -> connected components ->
         # min-id canonical per near-dup cluster (the keep-one-per-cluster
         # product); the SQL oracle closes the pair graph with a recursive CTE
@@ -623,6 +615,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
         "ngram_dedup": dedup.ngram_dedup_assignments,
+        # incremental dedup vs a reference corpus (Bloom map-side shortcut:
+        # filter misses are provably novel and never shuffle)
+        "novel_documents": dedup.novel_documents,
+        # test-set decontamination: training docs sharing no word 4-gram
+        # with the benchmark slice (map-side filter vs a broadcast gram set)
+        "decontaminated_documents": dedup.decontaminate_documents,
+        # CCNet/RefinedWeb-style paragraph-level dedup: drop every non-first
+        # occurrence of a duplicated paragraph, rebuild documents. The
+        # synthetic corpus is single-line, so the word-window segmenter
+        # (16-word parts) stands in for '\n' paragraphs; the SQL oracle
+        # replicates the same segmentation + global first-wins rule
+        "paragraph_dedup": dedup.paragraph_dedup,
     }
 
 
@@ -747,6 +751,13 @@ def oracle_sql() -> dict[str, str]:
     out["exact_dedup"] = """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         FROM documents
+    """
+    out["fuzzy_name_pairs"] = """
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
     """
     # paragraph dedup, window segmenter (W=16 words): an occurrence is kept
     # iff it is the global first under (doc_id, idx); documents are rebuilt

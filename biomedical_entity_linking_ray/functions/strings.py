@@ -227,3 +227,72 @@ def jaro_winkler_pairs(paths_a, paths_b) -> "np.ndarray":
             vals[k] = jaro_winkler(uniques[uia[k]], uniques[uib[k]])
     out[rest] = vals[inv]
     return out
+
+
+def levenshtein_batch(strs_a, strs_b) -> "np.ndarray":
+    """Batched Levenshtein distance over parallel string arrays, vectorized
+    ACROSS pairs (reference comparator family: string-similarity candidate
+    verification, bioel/bioel/ontology/umls_utils.py alias matching -- here
+    as the classic edit-distance record-linkage comparator).
+
+    The row recurrence L[i][j] = min(A[j], L[i][j-1] + 1) -- whose insertion
+    term is sequential in j -- has the closed form
+    L[i][j] = j + min_{k<=j}(C[k] - k) with C = [i, A[1..m]], so each DP row
+    is ONE np.minimum.accumulate over a (pairs x m+1) matrix: the only Python
+    loop is over the longest left-string length, every step is a full-batch
+    numpy kernel. Identical pairs short-circuit to 0; repeated (a, b) pairs
+    (blocked joins repeat hot names) are factorized to uniques first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(strs_a)
+    a = np.asarray(strs_a, dtype=object)
+    b = np.asarray(strs_b, dtype=object)
+    out = np.zeros(n, dtype=np.int64)
+    eq = a == b
+    rest = np.flatnonzero(~eq)
+    if rest.size == 0:
+        return out
+    codes, uniques = pd.factorize(np.concatenate([a[rest], b[rest]]), sort=False)
+    ca = codes[: rest.size].astype(np.uint64)
+    cb = codes[rest.size:].astype(np.uint64)
+    packed, inv = np.unique((ca << np.uint64(32)) | cb, return_inverse=True)
+    uia = (packed >> np.uint64(32)).astype(np.int64)
+    uib = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+    enc = [s.encode("utf-32-le") for s in uniques]
+    lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64, count=len(enc))
+    la, lb = lens[uia], lens[uib]
+    m = int(lb.max(initial=0))
+    lmax = int(la.max(initial=0))
+    npair = uia.size
+    # code-point matrix of the right-hand strings, padded with an impossible
+    # sentinel so padded columns never fake a zero substitution cost
+    B = np.full((npair, m), 0xFFFFFFFF, dtype=np.uint32)
+    for r, j in enumerate(uib):
+        e = enc[j]
+        B[r, : lens[j]] = np.frombuffer(e, dtype=np.uint32)
+    A_chars = np.zeros((npair, lmax), dtype=np.uint32)
+    for r, i in enumerate(uia):
+        e = enc[i]
+        A_chars[r, : lens[i]] = np.frombuffer(e, dtype=np.uint32)
+
+    dp = np.broadcast_to(np.arange(m + 1, dtype=np.int32), (npair, m + 1)).copy()
+    vals = np.empty(npair, dtype=np.int64)
+    done = la == 0
+    vals[done] = lb[done]
+    ramp = np.arange(m + 1, dtype=np.int32)
+    C = np.empty((npair, m + 1), dtype=np.int32)
+    for i in range(1, lmax + 1):
+        sub = (A_chars[:, i - 1, None] != B).astype(np.int32)
+        C[:, 0] = i
+        np.minimum(dp[:, :-1] + sub, dp[:, 1:] + 1, out=C[:, 1:])
+        np.subtract(C, ramp, out=C)
+        np.minimum.accumulate(C, axis=1, out=C)
+        np.add(C, ramp, out=dp)
+        hit = la == i
+        if hit.any():
+            vals[hit] = dp[hit, lb[hit]]
+    out[rest] = vals[inv]
+    return out

@@ -320,3 +320,59 @@ def knn_lsh(
         return g[["query_id", "rank", "vec_id", "cosine"]]
 
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def fuzzy_name_join(
+    sf_dir: str, max_dist: int = 4, block_col: str = "p_brand",
+    all_pairs_max: int = 100_000,
+) -> "ray.data.Dataset":
+    """Blocked fuzzy self-join on part names: (id_a, id_b, dist) for every
+    same-brand part pair whose name Levenshtein distance is <= `max_dist`,
+    id_a < id_b. The classic record-linkage blocking + edit-distance-verify
+    comparator (reference analog: alias string matching in
+    bioel/bioel/ontology/umls_utils.py; the flagship uses Jaro-Winkler for
+    the same role -- this is the bounded-edit variant).
+
+    Scale shape: blocking-key pair enumeration rides `within_key_pairs`
+    (singleton blocks drop map-side, surviving rows cross ONE bounded coarse
+    shuffle; names attach via the payload broadcast/enrich-once path, so the
+    pair stream before verify is skinny ids). Verification is the batched
+    anti-diagonal-free DP of `strings.levenshtein_batch` -- one
+    np.minimum.accumulate per DP row over the whole batch, repeated pairs
+    factorized to uniques. The quadratic term is bounded by the caller's
+    blocking key: `all_pairs_max` caps exact enumeration per block (beyond
+    it, sorted-neighborhood windows apply and the join is no longer
+    exhaustive -- size it to the largest block the key can produce)."""
+    from biomedical_entity_linking_ray.functions.candidate_pairs import (
+        within_key_pairs,
+    )
+    from biomedical_entity_linking_ray.functions.strings import levenshtein_batch
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", block_col, "p_name"])
+    names = parts.select_columns(["p_partkey", "p_name"])
+    skinny = parts.select_columns([block_col, "p_partkey"])
+
+    def emit(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> pd.DataFrame:
+        ids = g["p_partkey"].to_numpy()
+        nm = g["p_name"].to_numpy()
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                             "name_a": nm[ia], "name_b": nm[ib]})
+
+    pairs = within_key_pairs(
+        skinny, block_col, "p_partkey", emit=emit,
+        all_pairs_max=all_pairs_max, payload=names, payload_on="p_partkey")
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        d = levenshtein_batch(t["name_a"].to_pylist(), t["name_b"].to_pylist())
+        keep = d <= max_dist
+        return pa.table({"id_a": t["id_a"].filter(pa.array(keep)),
+                         "id_b": t["id_b"].filter(pa.array(keep)),
+                         "dist": pa.array(d[keep], pa.int64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

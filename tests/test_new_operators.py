@@ -833,3 +833,50 @@ def test_default_buckets_tracks_cluster():
     assert default_buckets(floor=1, per_cpu=32) == max(1, cpus * 32)
     # explicit values still win (pipelines pass user overrides through)
     assert default_buckets(floor=10_000) == 10_000
+
+
+def test_levenshtein_batch_matches_reference():
+    from biomedical_entity_linking_ray.functions.strings import levenshtein_batch
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev = cur
+        return dp[-1]
+
+    words = ["", "a", "ab", "kitten", "sitting", "über", "ünter",
+             "small ring", "small rung", "x" * 40, "y" * 3]
+    pairs = [(a, b) for a in words for b in words]
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == [ref(a, b) for a, b in pairs]
+
+
+def test_fuzzy_name_join_blocked_exact(tmp_path):
+    """Blocked Levenshtein join: same-brand pairs within the bound only,
+    id_a < id_b, distances exact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.similarity import fuzzy_name_join
+
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "p_name": ["red bolt", "red bolts", "red bolt", "blue bolt", "green gear"],
+        "p_brand": ["B1", "B1", "B2", "B1", "B1"],
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "part.parquet"))
+    df = fuzzy_name_join(str(d), max_dist=2, all_pairs_max=64) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # brand B1 block: (1,2) dist 1; (1,4) dist 2 ("red"->"blue" = 2 edits? r->b,
+    # e->l,d->u e... actual levenshtein("red bolt","blue bolt")=3 -> dropped);
+    # (2,4) >2 dropped; (2,5),(1,5),(4,5) far. Cross-brand (1,3) NEVER paired.
+    assert df[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert df["dist"].tolist() == [1]
