@@ -527,6 +527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocked Levenshtein self-join (blocking + batched edit-distance
         # verify; the bounded-edit sibling of the flagship's Jaro-Winkler)
         "fuzzy_name_pairs": similarity.fuzzy_name_join,
+        # Count-Min-sketch heavy-hitter 3-grams: sketch prunes map-side,
+        # exact pass verifies -- value-exact through the probabilistic prune
+        "heavy_hitter_ngrams": text_analysis.heavy_hitter_ngrams,
         # --- dedup family (r3-green; re-verified inside the window) ---
         "exact_dedup": dedup.exact_dedup,
         # end-to-end fuzzy dedup: MinHash pairs -> connected components ->
@@ -751,6 +754,19 @@ def oracle_sql() -> dict[str, str]:
     out["exact_dedup"] = """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         FROM documents
+    """
+    out["heavy_hitter_ngrams"] = """
+        SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT t1 || ' ' || t2 || ' ' || t3 AS g FROM (
+                SELECT token AS t1, lead(token) OVER w AS t2,
+                       lead(token, 2) OVER w AS t3
+                FROM (SELECT doc_id, i, token FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                           generate_subscripts(string_split(text, ' '), 1) AS i
+                    FROM documents))
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ) WHERE t3 IS NOT NULL
+        ) GROUP BY g HAVING COUNT(*) >= 4
     """
     out["fuzzy_name_pairs"] = """
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

@@ -675,3 +675,110 @@ def top_tokens_by_lang(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
                              ascending=[False, True]).head(k)
 
     return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-sketch heavy hitters (exact THROUGH the probabilistic prune)
+# ---------------------------------------------------------------------------
+
+def _word_ngrams_flat(texts, n: int) -> pa.Array:
+    """All word n-grams (space-joined) of a string column, flattened
+    doc-major, fully vectorized: one split_pattern, one
+    binary_join_element_wise over n shifted views of the flat word array,
+    and an offset mask dropping grams that straddle a document boundary.
+    Tokenization is a literal single-space split (string_split parity:
+    empties kept), so the SQL oracle can replicate it verbatim."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(texts, " ")
+    flat = words.flatten()
+    L = len(flat)
+    if L < n:
+        return pa.array([], pa.string())
+    offs = words.offsets.to_numpy().astype(np.int64)
+    parts = [flat.slice(i, L - n + 1) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    idx = np.arange(L - n + 1, dtype=np.int64)
+    doc_of = np.searchsorted(offs, idx, side="right") - 1
+    keep = idx + n <= offs[doc_of + 1]
+    return grams.filter(pa.array(keep))
+
+
+from biomedical_entity_linking_ray.functions import hashing as _hashing
+
+_CMS_SEEDS = _hashing.splitmix64(
+    np.arange(1, 65, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+
+def _cms_rows(grams_np: np.ndarray, depth: int, width: int):
+    """Yield (d, bincount-ready row indices) per sketch row for a gram batch."""
+    h = _hashing.fnv1a_fixed(grams_np, width=64)
+    for d in range(depth):
+        yield d, (_hashing.splitmix64(h ^ _CMS_SEEDS[d]) % np.uint64(width)) \
+            .astype(np.int64)
+
+
+def heavy_hitter_ngrams(
+    sf_dir: str, n: int = 3, threshold: int = 4,
+    depth: int = 4, width: int = 1 << 14,
+) -> "ray.data.Dataset":
+    """(gram, n): every word n-gram occurring >= `threshold` times across
+    the corpus, with its EXACT count -- heavy-hitter mining via a Count-Min
+    sketch prune (Cormode & Muthukrishnan 2005), the n-gram analog of the
+    repo's bloom_semi_join contract: probabilistic structure prunes, exact
+    pass verifies, result is value-exact.
+
+    Why this shape at 100 TB: the naive plan is one groupby over EVERY gram
+    occurrence -- an all-to-all whose key cardinality scales with the corpus.
+    Here pass 1 folds the corpus into a depth x width integer sketch via
+    Ray Data's native AggregateFn tree merge (per-block bincount combiner;
+    the exchange carries O(blocks) fixed-size sketches, never grams). Pass 2
+    re-scans map-side, keeping only grams whose sketch estimate clears the
+    threshold -- CMS never underestimates, so survivors are a SUPERSET of the
+    true heavy hitters regardless of collisions (hash truncation included).
+    Pass 3 exact-counts the survivors through the bucketed groupby: its key
+    cardinality is the (tiny) candidate set, not the vocabulary. Final
+    filter n >= threshold discharges the false positives -- the output equals
+    the oracle's GROUP BY ... HAVING exactly."""
+    from ray.data.aggregate import AggregateFn
+
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    docs = read_documents(sf_dir, ["text"])
+
+    def acc_block(acc: np.ndarray, block) -> np.ndarray:
+        texts = block["text"] if isinstance(block, pa.Table) \
+            else pa.array(block["text"])
+        grams = _word_ngrams_flat(texts, n)
+        if len(grams):
+            g = grams.to_numpy(zero_copy_only=False)
+            for d, idx in _cms_rows(g, depth, width):
+                acc[d] += np.bincount(idx, minlength=width)
+        return acc
+
+    cms = docs.aggregate(AggregateFn(
+        init=lambda _k: np.zeros((depth, width), np.int64),
+        accumulate_block=acc_block,
+        merge=lambda a, b: a + b,
+        name="cms"))["cms"]
+    cms_ref = ray.put(cms)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        sk = cached_broadcast(cms_ref)
+        grams = _word_ngrams_flat(t["text"], n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(grams.to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        est = np.full(uniq.size, np.iinfo(np.int64).max)
+        for d, idx in _cms_rows(uniq, depth, width):
+            np.minimum(est, sk[d][idx], out=est)
+        keep = est >= threshold
+        return pa.table({"gram": pa.array(uniq[keep], pa.string()),
+                         "n": pa.array(cnt[keep], pa.int64())})
+
+    cand = docs.map_batches(survivors, batch_format="pyarrow")
+    counts = bucketed_aggregate(cand, ["gram"], {"n": ("n", "sum")})
+    return counts.filter(expr=f"n >= {threshold}")

@@ -880,3 +880,34 @@ def test_fuzzy_name_join_blocked_exact(tmp_path):
     # (2,4) >2 dropped; (2,5),(1,5),(4,5) far. Cross-brand (1,3) NEVER paired.
     assert df[["id_a", "id_b"]].values.tolist() == [[1, 2]]
     assert df["dist"].tolist() == [1]
+
+
+def test_heavy_hitter_ngrams_exact_under_collisions(tmp_path):
+    """CMS prune stays value-exact even when a tiny sketch forces heavy
+    collisions: survivors are a superset (no underestimates), the exact
+    verify pass discharges every false positive."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.text_analysis import (
+        heavy_hitter_ngrams,
+    )
+
+    # 40 docs: 'hot x y' appears in 10 docs (heavy at T=4); 30 docs each
+    # carry a unique cold 3-gram
+    texts = ["hot x y"] * 10 + [f"cold {i} tail" for i in range(30)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    for width in (8, 1 << 14):  # width=8: every bucket collides
+        df = heavy_hitter_ngrams(str(d), n=3, threshold=4,
+                                 depth=2, width=width).to_pandas()
+        assert df["gram"].tolist() == ["hot x y"]
+        assert df["n"].tolist() == [10]
