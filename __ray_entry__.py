@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         # metadata-filtered vector search (label < 5 pushed into the scan)
         "knn_filtered": similarity.knn_filtered,
+        # ANN self-join: top-k neighbors for EVERY vector (brute-force exact
+        # baseline; LSH/IVF variants are the bucketed scale path)
+        "knn_self_topk": similarity.knn_self_join,
         "knn_lsh": similarity.knn_lsh,
         # exhaustive config: zero hyperplanes admit every candidate, so the
         # bucket/mask/merge plumbing returns the exact top-k and the
@@ -811,7 +814,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         s AS (
             SELECT q.query_id, e.vec_id,
-                   ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine
+                   ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine
             FROM q CROSS JOIN embeddings e
         ),
         r AS (
@@ -824,6 +827,26 @@ def oracle_sql() -> dict[str, str]:
     """
     out["knn_ivf_exhaustive"] = out["knn_bruteforce"]
     out["knn_lsh_exhaustive"] = out["knn_bruteforce"]
+    out["knn_self_topk"] = """
+        WITH s AS (
+            -- DOUBLE[] cast: the Ray side accumulates in float64; DuckDB's
+            -- FLOAT[] kernel accumulates in float32, which flips the 4-dp
+            -- rounding on boundary cosines (0.32575...)
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE b.vec_id <> a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM s
+        )
+        SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 3
+    """
     # metadata-filtered vector search: same exact kernel, corpus restricted
     # to label < 5 (predicate pushed into the parquet scan on the Ray side)
     out["knn_filtered"] = """
@@ -833,7 +856,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         s AS (
             SELECT q.query_id, e.vec_id,
-                   ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine
+                   ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine
             FROM q CROSS JOIN (SELECT * FROM embeddings WHERE label < 5) e
         ),
         r AS (
@@ -1012,9 +1035,9 @@ def oracle_sql() -> dict[str, str]:
     """
     out["embedding_near_dup"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """
     out["embedding_near_dup_lsh_exhaustive"] = out["embedding_near_dup"]
     # unrolled-Lloyd closed-form oracles (pipelines/semantic.py builders)
@@ -1031,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         s AS (
             SELECT q.query_id, q.qlabel, e.vec_id, e.label,
-                   ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine
+                   ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine
             FROM q CROSS JOIN embeddings e
             WHERE e.vec_id <> q.query_id
         ),

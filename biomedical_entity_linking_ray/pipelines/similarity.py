@@ -376,3 +376,26 @@ def fuzzy_name_join(
                          "dist": pa.array(d[keep], pa.int64())})
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def knn_self_join(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """(query_id, rank, vec_id, cosine): top-k cosine neighbors for EVERY
+    vector, self excluded -- the ANN self-join that feeds embedding
+    clustering / near-dup mining (reference analog: full-corpus candidate
+    retrieval, run_entity_linking.py:50-163, as a join rather than a query
+    batch).
+
+    This is the exact brute-force BASELINE: the query side (the whole
+    table) broadcasts once via `ray.put` and every corpus batch does one
+    matmul -- O(N^2/batch) compute with zero shuffle beyond the final
+    per-query top-k merge. Quadratic by construction: past the
+    broadcast-comfortable regime (~10^6 rows) use the bucketed variants
+    (`knn_lsh`, `knn_ivf`, `embedding_near_dup_lsh`) whose candidate sets
+    are bounded per bucket; this kernel then verifies inside buckets.
+    Cosines are rounded to 4 decimals BEFORE ranking so ranks tie-break
+    identically (cosine DESC, vec_id ASC) in Ray and in the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    return knn_bruteforce(sf_dir, k=k, n_queries=int(n), exclude_self=True)

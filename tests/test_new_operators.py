@@ -911,3 +911,40 @@ def test_heavy_hitter_ngrams_exact_under_collisions(tmp_path):
                                  depth=2, width=width).to_pandas()
         assert df["gram"].tolist() == ["hot x y"]
         assert df["n"].tolist() == [10]
+
+
+def test_knn_self_join_every_vector_ranked(tmp_path):
+    """Self-join: every vector gets exactly k ranked neighbors, never
+    itself, ranks deterministic under the (cosine desc, vec_id asc) order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.similarity import knn_self_join
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 8
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([rng.normal(size=dim).tolist() for _ in range(n)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    df = knn_self_join(str(d), k=4).to_pandas()
+    assert len(df) == n * 4
+    assert (df["query_id"] != df["vec_id"]).all()
+    g = df.sort_values(["query_id", "rank"]).groupby("query_id")
+    assert all(r == [1, 2, 3, 4] for r in g["rank"].apply(list))
+    # symmetry spot-check vs numpy
+    M = np.array([t["embedding"][i].as_py() for i in range(n)], np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sims = np.round(M @ M.T, 4)
+    np.fill_diagonal(sims, -2)
+    top1 = df[df["rank"] == 1].sort_values("query_id")["vec_id"].to_numpy()
+    expected_top1 = np.lexsort((np.arange(n)[None, :].repeat(n, 0),
+                                -sims))[np.arange(n), 0]
+    assert (top1 == expected_top1).all()
