@@ -533,13 +533,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min-sketch heavy-hitter 3-grams: sketch prunes map-side,
         # exact pass verifies -- value-exact through the probabilistic prune
         "heavy_hitter_ngrams": text_analysis.heavy_hitter_ngrams,
+        # null-preserving LEFT OUTER join (dimension vs pre-aggregated fact)
+        "customer_order_counts": relational.customer_order_counts,
         # --- dedup family (r3-green; re-verified inside the window) ---
         "exact_dedup": dedup.exact_dedup,
         # end-to-end fuzzy dedup: MinHash pairs -> connected components ->
         # min-id canonical per near-dup cluster (the keep-one-per-cluster
         # product); the SQL oracle closes the pair graph with a recursive CTE
         "minhash_dedup": dedup.minhash_dedup_assignments,
-        "simhash_dedup": dedup.simhash_dedup_assignments,
         # --- training-data selection (new in round 4) ---
         # leakage-safe split: whole near-dup clusters land in one split
         "cluster_split": selection.cluster_split,
@@ -621,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
         "ngram_dedup": dedup.ngram_dedup_assignments,
+        "simhash_dedup": dedup.simhash_dedup_assignments,
         # incremental dedup vs a reference corpus (Bloom map-side shortcut:
         # filter misses are provably novel and never shuffle)
         "novel_documents": dedup.novel_documents,
@@ -770,6 +772,15 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY doc_id ORDER BY i)
             ) WHERE t3 IS NOT NULL
         ) GROUP BY g HAVING COUNT(*) >= 4
+    """
+    out["customer_order_counts"] = """
+        SELECT c.c_custkey, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(o.s, 0.0), 2) AS total_spent
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS s
+            FROM orders WHERE o_totalprice > 300000.0
+            GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey
     """
     out["fuzzy_name_pairs"] = """
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "dsir_weights",
     # temporal-join family (round 3): banded range self-join over events
     "events_nearby",
+    # fuzzy-join family (round 4): blocked Levenshtein verify (batched DP)
+    "fuzzy_name_pairs",
+    # sketch family (round 4): Count-Min prune -> exact heavy hitters
+    "heavy_hitter_ngrams",
     # the synthetic-corpus flagship: the SAME workload BENCH_r01/r02 timed
     # under the name "linkage_assignments" (that name now runs the planted
     # oracle corpus for the driver's value-exact check; see BASELINE.md note)

@@ -817,3 +817,54 @@ def _stratified_sql() -> str:
 
 
 SQL["events_stratified_sample"] = _stratified_sql()
+
+
+def customer_order_counts(
+    sf_dir: str, min_price: float = 300000.0, join_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """(c_custkey, n_orders, total_spent): per-customer count and spend over
+    orders above `min_price`, for EVERY customer -- customers with none kept
+    with zeros (the null-preserving LEFT OUTER join the anti-join battery
+    implies but never materializes; the price floor makes the null branch
+    non-empty at test scale, same device as customers_without_orders).
+
+    Scale shape: the fact table is pre-aggregated FIRST (bucketed partial
+    sums -- the combiner), so the outer join runs dimension-vs-aggregate:
+    both sides are one-row-per-customer, never fact-cardinality. The outer
+    side's null slots become integer/decimal zeros map-side."""
+    import pyarrow.compute as pc
+
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > min_price))
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    agg = bucketed_aggregate(
+        orders.map_batches(add_one, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"n_orders": ("one", "sum"), "spent": ("o_totalprice", "sum")})
+
+    customers = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    joined = hash_join(customers, agg, "left_outer", join_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t["n_orders"], 0) if "n_orders" in t.schema.names \
+            else pa.array(np.zeros(t.num_rows, np.int64))
+        s = pc.fill_null(t["spent"], 0.0) if "spent" in t.schema.names \
+            else pa.array(np.zeros(t.num_rows, np.float64))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": n.cast(pa.int64()),
+            "total_spent": pc.round(s.cast(pa.float64()), 2),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

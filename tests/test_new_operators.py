@@ -948,3 +948,29 @@ def test_knn_self_join_every_vector_ranked(tmp_path):
     expected_top1 = np.lexsort((np.arange(n)[None, :].repeat(n, 0),
                                 -sims))[np.arange(n), 0]
     assert (top1 == expected_top1).all()
+
+
+def test_customer_order_counts_preserves_orderless(tmp_path):
+    """LEFT OUTER join keeps customers with no qualifying orders, zeros
+    filled map-side."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.relational import (
+        customer_order_counts,
+    )
+
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+                   str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_totalprice": pa.array([500000.0, 400000.0, 100.0]),
+    }), str(d / "orders.parquet"))
+    df = customer_order_counts(str(d)).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    assert df["n_orders"].tolist() == [2, 0, 0]  # cust 3's order under floor
+    assert df["total_spent"].tolist() == [900000.0, 0.0, 0.0]
