@@ -535,12 +535,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_ngrams": text_analysis.heavy_hitter_ngrams,
         # null-preserving LEFT OUTER join (dimension vs pre-aggregated fact)
         "customer_order_counts": relational.customer_order_counts,
+        # GROUP BY ROLLUP analog: one corpus pass, coarser levels derived
+        # from the bounded finest-grain aggregate
+        "order_rollup": relational.order_rollup,
         # --- dedup family (r3-green; re-verified inside the window) ---
         "exact_dedup": dedup.exact_dedup,
         # end-to-end fuzzy dedup: MinHash pairs -> connected components ->
         # min-id canonical per near-dup cluster (the keep-one-per-cluster
         # product); the SQL oracle closes the pair graph with a recursive CTE
-        "minhash_dedup": dedup.minhash_dedup_assignments,
         # --- training-data selection (new in round 4) ---
         # leakage-safe split: whole near-dup clusters land in one split
         "cluster_split": selection.cluster_split,
@@ -623,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_triangles": dedup.near_dup_triangles,
         "ngram_dedup": dedup.ngram_dedup_assignments,
         "simhash_dedup": dedup.simhash_dedup_assignments,
+        "minhash_dedup": dedup.minhash_dedup_assignments,
         # incremental dedup vs a reference corpus (Bloom map-side shortcut:
         # filter misses are provably novel and never shuffle)
         "novel_documents": dedup.novel_documents,
@@ -772,6 +775,15 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY doc_id ORDER BY i)
             ) WHERE t3 IS NOT NULL
         ) GROUP BY g HAVING COUNT(*) >= 4
+    """
+    out["order_rollup"] = """
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """
     out["customer_order_counts"] = """
         SELECT c.c_custkey, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,

@@ -868,3 +868,44 @@ def customer_order_counts(
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def order_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderstatus, o_orderpriority, n_orders, total_price) at THREE
+    grouping levels -- (status, priority), per-status subtotal, grand total --
+    rollup slots marked 'ALL' (GROUP BY ROLLUP analog; sentinel instead of
+    NULL so the driver's value hash has no null-ordering ambiguity).
+
+    Textbook rollup shape: the corpus crosses the wire ONCE, into the
+    finest-grain bucketed aggregate (per-batch partial sums, key cardinality
+    = |status| x |priority| -- bounded, not data-scaled); coarser levels roll
+    up FROM that aggregate driver-side. No second pass, no second shuffle."""
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    fine = bucketed_aggregate(
+        ds.map_batches(add_one, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("one", "sum"), "s": ("o_totalprice", "sum")},
+    ).to_pandas()
+
+    by_status = fine.groupby("o_orderstatus", as_index=False)[
+        ["n_orders", "s"]].sum()
+    by_status["o_orderpriority"] = "ALL"
+    total = pd.DataFrame({
+        "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+        "n_orders": [fine["n_orders"].sum()], "s": [fine["s"].sum()],
+    })
+    out = pd.concat([fine, by_status, total], ignore_index=True)
+    out["total_price"] = out.pop("s").round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "total_price"]
+    return ray.data.from_arrow(pa.Table.from_pandas(out[cols],
+                                                    preserve_index=False))
