@@ -268,3 +268,36 @@ def test_gram_occurrences_match_pure_python(texts, n):
         for i in range(len(ws) - n + 1):
             exp.append((100 + d, i, " ".join(ws[i:i + n])))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein batch DP: differential vs the textbook scalar recurrence
+# ---------------------------------------------------------------------------
+
+def _lev_ref(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            prev = cur
+    return dp[-1]
+
+
+@_PURE_SETTINGS
+@given(st.lists(st.tuples(_STR, _STR), min_size=1, max_size=16))
+def test_levenshtein_batch_matches_scalar(pairs):
+    got = S.levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == [_lev_ref(a, b) for a, b in pairs]
+
+
+@_PURE_SETTINGS
+@given(_STR, _STR)
+def test_levenshtein_metric_properties(a, b):
+    d_ab = int(S.levenshtein_batch([a], [b])[0])
+    d_ba = int(S.levenshtein_batch([b], [a])[0])
+    assert d_ab == d_ba                      # symmetry
+    assert (d_ab == 0) == (a == b)           # identity
+    assert d_ab <= max(len(a), len(b))       # upper bound
+    assert d_ab >= abs(len(a) - len(b))      # length lower bound
