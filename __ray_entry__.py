@@ -538,8 +538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUP BY ROLLUP analog: one corpus pass, coarser levels derived
         # from the bounded finest-grain aggregate
         "order_rollup": relational.order_rollup,
-        # --- dedup family (r3-green; re-verified inside the window) ---
-        "exact_dedup": dedup.exact_dedup,
+        # grouped top-k (k>1) with map-side per-customer cut
+        "topk_orders_per_customer": relational.topk_orders_per_customer,
+        # --- dedup family ---
         # end-to-end fuzzy dedup: MinHash pairs -> connected components ->
         # min-id canonical per near-dup cluster (the keep-one-per-cluster
         # product); the SQL oracle closes the pair graph with a recursive CTE
@@ -626,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": dedup.ngram_dedup_assignments,
         "simhash_dedup": dedup.simhash_dedup_assignments,
         "minhash_dedup": dedup.minhash_dedup_assignments,
+        "exact_dedup": dedup.exact_dedup,
         # incremental dedup vs a reference corpus (Bloom map-side shortcut:
         # filter misses are provably novel and never shuffle)
         "novel_documents": dedup.novel_documents,
@@ -775,6 +777,17 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY doc_id ORDER BY i)
             ) WHERE t3 IS NOT NULL
         ) GROUP BY g HAVING COUNT(*) >= 4
+    """
+    out["topk_orders_per_customer"] = """
+        SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+               ROUND(o_totalprice, 4) AS o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey ASC) AS rnk
+            FROM orders)
+        WHERE rnk <= 3
     """
     out["order_rollup"] = """
         SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
