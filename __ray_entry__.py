@@ -468,11 +468,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # baseline; LSH/IVF variants are the bucketed scale path)
         "knn_self_topk": similarity.knn_self_join,
         "knn_lsh": similarity.knn_lsh,
-        # exhaustive config: zero hyperplanes admit every candidate, so the
-        # bucket/mask/merge plumbing returns the exact top-k and the
-        # brute-force SQL oracle applies verbatim
-        "knn_lsh_exhaustive": lambda sf_dir: similarity.knn_lsh(
-            sf_dir, lsh_planes=0, rotations=1),
         "knn_ivf": similarity.knn_ivf,
         # exhaustive config: nprobe == n_centroids admits every inverted list,
         # so the IVF machinery returns the exact top-k and the brute-force
@@ -530,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocked Levenshtein self-join (blocking + batched edit-distance
         # verify; the bounded-edit sibling of the flagship's Jaro-Winkler)
         "fuzzy_name_pairs": similarity.fuzzy_name_join,
+        # sorted-neighborhood method (Hernandez-Stolfo sliding window over
+        # the global (name, id) order -- distributed rank, banded windows)
+        "sorted_neighborhood": similarity.sorted_neighborhood_pairs,
         # Count-Min-sketch heavy-hitter 3-grams: sketch prunes map-side,
         # exact pass verifies -- value-exact through the probabilistic prune
         "heavy_hitter_ngrams": text_analysis.heavy_hitter_ngrams,
@@ -619,8 +617,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": relational.top_order_per_customer,
         "user_sessions": relational.user_sessions,
         "event_props_k": relational.event_props_k,
-        # r3-green entries rotated behind the driver window so new round-4
-        # queries stay checkable:
+        # r2/r3-green entries rotated behind the driver window so new round-4
+        # queries stay checkable (a green row in ANY round is durable):
+        # exhaustive LSH config: zero hyperplanes admit every candidate, so
+        # the bucket/mask/merge plumbing returns the exact top-k and the
+        # brute-force SQL oracle applies verbatim (r2-green)
+        "knn_lsh_exhaustive": lambda sf_dir: similarity.knn_lsh(
+            sf_dir, lsh_planes=0, rotations=1),
         # graph analytics over the near-dup graph: per-node triangle counts
         # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
@@ -813,6 +816,17 @@ def oracle_sql() -> dict[str, str]:
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """
+    out["sorted_neighborhood"] = """
+        WITH r AS (
+            SELECT p_partkey, p_name,
+                   row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+            FROM part
+        )
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(b.rn - a.rn AS BIGINT) AS gap,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 8
     """
     # paragraph dedup, window segmenter (W=16 words): an occurrence is kept
     # iff it is the global first under (doc_id, idx); documents are rebuilt

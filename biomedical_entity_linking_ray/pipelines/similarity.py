@@ -399,3 +399,188 @@ def knn_self_join(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     n = pq.ParquetFile(
         os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
     return knn_bruteforce(sf_dir, k=k, n_queries=int(n), exclude_self=True)
+
+
+def sorted_neighborhood_pairs(
+    sf_dir: str, window: int = 8, n_ranges: int = 64, band: int = 4096,
+    broadcast_keys_max: int = 2_000_000, join_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood method (Hernandez & Stolfo 1995): order all parts
+    by (p_name, p_partkey) and emit every pair within `window` positions,
+    with rank gap and name edit distance -- the classic sliding-window
+    record-linkage blocking that catches near-miss keys LSH-style blocking
+    can miss ("red bolt" ~ "red bolts" sort adjacent).
+
+    Distributed global rank without a global sort of the corpus:
+    1. DISTINCT keys + counts (one bucketed aggregate -- rows collapse to the
+       key table);
+    2. deterministic hash-sampled key boundaries split the key space into
+       `n_ranges` ORDERED ranges; per-range row sums prefix driver-side
+       (n_ranges scalars, the token_packing shape);
+    3. inside each range one vectorized sort+cumsum assigns each KEY its
+       global row base; key bases reach the rows via broadcast under
+       `broadcast_keys_max`, hash join beyond;
+    4. each row's rank = key base + its id-order position among same-key
+       rows (one bounded bucket shuffle);
+    5. rank bands of width `band` with the last `window` ranks ghosted into
+       the next band: every window pair lives in exactly one band (left
+       element never a ghost), enumerated with index arithmetic.
+    The corpus is never globally sorted and no stage holds more than a
+    range/band of skinny (key, id, rank) rows."""
+    from biomedical_entity_linking_ray.functions import hashing
+    from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
+    from biomedical_entity_linking_ray.functions.joins import (
+        cached_broadcast,
+        hash_join,
+        heal_projection,
+    )
+    from biomedical_entity_linking_ray.functions.strings import levenshtein_batch
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    keys = bucketed_aggregate(
+        parts.select_columns(["p_name"]).map_batches(
+            add_one, batch_format="pyarrow"),
+        ["p_name"], {"cnt": ("one", "sum")}).materialize()
+
+    # 2. sampled ORDERED boundaries (deterministic: keep keys whose hash
+    # lands in a fixed residue class, widen until <= ~64 samples/range)
+    def sample(t: pa.Table) -> pa.Table:
+        h = hashing.fnv1a_fixed(t["p_name"].to_numpy(zero_copy_only=False),
+                                width=64)
+        return t.select(["p_name"]).filter(pa.array(h % np.uint64(16) == 0))
+
+    sampled = keys.map_batches(sample, batch_format="pyarrow").to_pandas()
+    pool = np.sort(sampled["p_name"].to_numpy()) if len(sampled) else np.array([])
+    if pool.size >= n_ranges:
+        bounds = pool[np.linspace(0, pool.size - 1, n_ranges + 1)
+                      .astype(np.int64)][1:-1]
+    else:
+        bounds = pool[1:-1] if pool.size > 2 else np.array([], dtype=object)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        k = t["p_name"].to_numpy(zero_copy_only=False)
+        r = np.searchsorted(bounds, k, side="right") if bounds.size \
+            else np.zeros(len(k), np.int64)
+        return t.append_column("__range", pa.array(r.astype(np.int64)))
+
+    ranged = keys.map_batches(add_range, batch_format="pyarrow")
+    range_sums = bucketed_aggregate(
+        ranged, ["__range"], {"rows": ("cnt", "sum")}, n_buckets=16,
+    ).to_pandas().sort_values("__range")
+    base = dict(zip(
+        range_sums["__range"],
+        np.concatenate([[0], np.cumsum(range_sums["rows"].to_numpy())[:-1]]),
+    ))
+    base_ref = ray.put(base)
+
+    # 3. per-range key bases
+    def key_bases(g: pd.DataFrame) -> pd.DataFrame:
+        b = cached_broadcast(base_ref)
+        g = g.sort_values("p_name", kind="mergesort").reset_index(drop=True)
+        cnt = g["cnt"].to_numpy()
+        g["key_base"] = (np.cumsum(cnt) - cnt
+                         + int(b[int(g["__range"].iloc[0])]))
+        return g[["p_name", "key_base"]]
+
+    kb = ranged.groupby("__range").map_groups(
+        key_bases, batch_format="pandas").materialize()
+
+    # 4. row ranks: key base + id position within the key
+    n_keys = kb.count()
+    if n_keys <= broadcast_keys_max:
+        kb_df = kb.to_pandas()
+        kb_ref = ray.put((kb_df["p_name"].to_numpy(),
+                          kb_df["key_base"].to_numpy()))
+
+        def attach(t: pa.Table) -> pa.Table:
+            names, bases = cached_broadcast(kb_ref)
+            idx = pd.Index(names)
+            kb_col = bases[idx.get_indexer(
+                t["p_name"].to_numpy(zero_copy_only=False))]
+            return t.append_column("key_base", pa.array(kb_col, pa.int64()))
+
+        with_base = parts.map_batches(attach, batch_format="pyarrow")
+    else:  # 10^12-row path: distinct-key table too big to broadcast
+        joined_schema = pa.schema([
+            ("p_partkey", pa.int64()), ("p_name", pa.string()),
+            ("key_base", pa.int64())])
+        with_base = hash_join(
+            parts, kb, "inner", join_partitions, on=("p_name",),
+        ).map_batches(
+            heal_projection(joined_schema,
+                            lambda t: t.select(joined_schema.names)),
+            batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hashing.fnv1a_fixed(t["p_name"].to_numpy(zero_copy_only=False),
+                                width=64)
+        from biomedical_entity_linking_ray.config import default_buckets
+        b = (h % np.uint64(default_buckets())).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def rank_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_name", "p_partkey"],
+                          kind="mergesort").reset_index(drop=True)
+        g["rank"] = (g["key_base"]
+                     + g.groupby("p_name", sort=False).cumcount()).astype(np.int64)
+        return g[["p_partkey", "p_name", "rank"]]
+
+    ranked = with_base.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(rank_rows, batch_format="pandas")
+
+    # 5. banded window pairs (ghost the last `window` ranks into band+1)
+    def to_bands(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy()
+        b = r // band
+        ghost = (r % band) >= band - window
+        own = t.append_column("__band", pa.array(b.astype(np.int64)))
+        own = own.append_column("__ghost", pa.array(
+            np.zeros(t.num_rows, dtype=bool)))
+        gh = t.filter(pa.array(ghost))
+        gh = gh.append_column("__band", pa.array(
+            (gh["rank"].to_numpy() // band + 1).astype(np.int64)))
+        gh = gh.append_column("__ghost", pa.array(
+            np.ones(gh.num_rows, dtype=bool)))
+        return pa.concat_tables([own, gh])
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank", kind="mergesort").reset_index(drop=True)
+        rk = g["rank"].to_numpy()
+        ids = g["p_partkey"].to_numpy()
+        nm = g["p_name"].to_numpy()
+        ghost = g["__ghost"].to_numpy()
+        ia, ib = [], []
+        n = len(g)
+        for w in range(1, window + 1):
+            if n <= w:
+                break
+            a = np.arange(0, n - w)
+            # ghosts sort first (their ranks precede every own rank), so the
+            # only duplicate-producing combination is ghost-ghost -- that
+            # pair is the previous band's own-own pair. Ghost-LEFT x own
+            # pairs are exactly the cross-boundary windows ghosting exists
+            # to capture.
+            keep = ~(ghost[a] & ghost[a + w]) & (rk[a + w] - rk[a] <= window)
+            ia.append(a[keep])
+            ib.append(a[keep] + w)
+        if not ia:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "gap": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        return pd.DataFrame({
+            "id_a": ids[ia], "id_b": ids[ib],
+            "gap": (rk[ib] - rk[ia]).astype(np.int64),
+            "dist": levenshtein_batch(nm[ia], nm[ib]),
+        })
+
+    return ranked.map_batches(to_bands, batch_format="pyarrow") \
+        .groupby("__band").map_groups(window_pairs, batch_format="pandas")

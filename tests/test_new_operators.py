@@ -974,3 +974,42 @@ def test_customer_order_counts_preserves_orderless(tmp_path):
         .sort_values("c_custkey").reset_index(drop=True)
     assert df["n_orders"].tolist() == [2, 0, 0]  # cust 3's order under floor
     assert df["total_spent"].tolist() == [900000.0, 0.0, 0.0]
+
+
+def test_sorted_neighborhood_cross_band_pairs(tmp_path):
+    """Band width smaller than the table: window pairs crossing band
+    boundaries must come from the ghost replication, exactly once each."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.similarity import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w, band = 200, 3, 16
+    rng = np.random.default_rng(3)
+    names = [f"name{rng.integers(0, 50):03d}" for _ in range(n)]
+    t = pa.table({
+        "p_partkey": pa.array(range(n), pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "part.parquet"))
+    df = sorted_neighborhood_pairs(str(d), window=w, band=band, n_ranges=4) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    # brute-force reference: global (name, id) order, all pairs within w
+    order = sorted(range(n), key=lambda i: (names[i], i))
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, min(i + w + 1, n)):
+            exp.append((order[i], order[j], j - i))
+    exp = pd.DataFrame(exp, columns=["id_a", "id_b", "gap"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(df) == len(exp)
+    pd.testing.assert_frame_equal(df[["id_a", "id_b", "gap"]], exp)
+    # every pair exactly once (no ghost duplicates)
+    assert not df.duplicated(["id_a", "id_b"]).any()
