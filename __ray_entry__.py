@@ -469,11 +469,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_topk": similarity.knn_self_join,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
-        # exhaustive config: nprobe == n_centroids admits every inverted list,
-        # so the IVF machinery returns the exact top-k and the brute-force
-        # SQL oracle applies verbatim (checks the probe/mask/merge plumbing)
-        "knn_ivf_exhaustive": lambda sf_dir: similarity.knn_ivf(
-            sf_dir, n_centroids=16, nprobe=16),
         "knn_label_recall": similarity.label_recall_at_k,
         # --- warm-encoder actor pool (documents -> embedding table) ---
         "doc_embeddings": _doc_embeddings,
@@ -528,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted-neighborhood method (Hernandez-Stolfo sliding window over
         # the global (name, id) order -- distributed rank, banded windows)
         "sorted_neighborhood": similarity.sorted_neighborhood_pairs,
+        # the SNM merge/purge cascade: window pairs (dist <= 1) -> CC ->
+        # keep-one; recursive-CTE closure oracle over the part table
+        "snm_dedup": dedup.snm_dedup_assignments,
         # Count-Min-sketch heavy-hitter 3-grams: sketch prunes map-side,
         # exact pass verifies -- value-exact through the probabilistic prune
         "heavy_hitter_ngrams": text_analysis.heavy_hitter_ngrams,
@@ -624,6 +622,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force SQL oracle applies verbatim (r2-green)
         "knn_lsh_exhaustive": lambda sf_dir: similarity.knn_lsh(
             sf_dir, lsh_planes=0, rotations=1),
+        # exhaustive IVF config: nprobe == n_centroids admits every inverted
+        # list -> exact top-k, brute-force oracle verbatim (r2-green)
+        "knn_ivf_exhaustive": lambda sf_dir: similarity.knn_ivf(
+            sf_dir, n_centroids=16, nprobe=16),
         # graph analytics over the near-dup graph: per-node triangle counts
         # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
@@ -827,6 +829,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.rn - a.rn AS BIGINT) AS gap,
                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 8
+    """
+    out["snm_dedup"] = """
+        WITH RECURSIVE r AS (
+            SELECT p_partkey, p_name,
+                   row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+            FROM part
+        ),
+        pr AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 8
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pr
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pr
+        ),
+        comp(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT c.a, e.b FROM comp c JOIN edges e ON c.b = e.a
+        )
+        SELECT p.p_partkey,
+               CAST(LEAST(p.p_partkey, COALESCE(MIN(c.b), p.p_partkey))
+                    AS BIGINT) AS canonical_id
+        FROM part p LEFT JOIN comp c ON c.a = p.p_partkey
+        GROUP BY p.p_partkey
     """
     # paragraph dedup, window segmenter (W=16 words): an occurrence is kept
     # iff it is the global first under (doc_id, idx); documents are rebuilt

@@ -1200,10 +1200,13 @@ def ngram_dedup_assignments(
 
 def pairs_to_assignments(
     pairs: "ray.data.Dataset", sf_dir: str,
+    nodes: "ray.data.Dataset | None" = None, id_col: str = "doc_id",
 ) -> "ray.data.Dataset":
-    """(id_a, id_b, ...) near-dup pair graph -> (doc_id, canonical_id) via
+    """(id_a, id_b, ...) near-dup pair graph -> (<id_col>, canonical_id) via
     the flagship's distributed connected-components stage; canonical = the
-    numeric minimum doc_id of the component (ids ride CC as hex16 strings)."""
+    numeric minimum id of the component (ids ride CC as hex16 strings).
+    Nodes default to the documents table; pass `nodes`/`id_col` to close a
+    pair graph over any integer-keyed table (e.g. the SNM part-name graph)."""
     from biomedical_entity_linking_ray.config import LinkageConfig
     from biomedical_entity_linking_ray.stages.clustering import connected_components
 
@@ -1216,24 +1219,48 @@ def pairs_to_assignments(
         })
 
     def enc_node(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table({
             "file_id": pa.array(hashing.hex16_batch(d), pa.string())})
 
     edges = pairs.map_batches(enc_pair, batch_format="pyarrow")
-    nodes = _read_docs(sf_dir, ["doc_id"]).map_batches(
-        enc_node, batch_format="pyarrow")
+    if nodes is None:
+        nodes = _read_docs(sf_dir, ["doc_id"])
+    nodes = nodes.map_batches(enc_node, batch_format="pyarrow")
     cc = connected_components(edges, nodes, LinkageConfig())
 
     def dec(t: pa.Table) -> pa.Table:
         return pa.table({
-            "doc_id": pa.array(
+            id_col: pa.array(
                 [int(x, 16) for x in t["file_id"].to_pylist()], pa.int64()),
             "canonical_id": pa.array(
                 [int(x, 16) for x in t["canonical_id"].to_pylist()], pa.int64()),
         })
 
     return cc.map_batches(dec, batch_format="pyarrow")
+
+
+def snm_dedup_assignments(
+    sf_dir: str, window: int = 8, max_dist: int = 1,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood dedup, the full product: (p_partkey, canonical_id)
+    where canonical is the minimum part key of the SNM near-dup cluster --
+    transitive closure of window pairs whose name edit distance is
+    <= `max_dist`; singletons map to themselves. The entity-resolution
+    cascade (Hernandez-Stolfo merge/purge): sliding-window blocking ->
+    edit-distance match -> union. Composes the oracle-green
+    `sorted_neighborhood_pairs` with the flagship CC stage, inheriting both
+    scale stories."""
+    from biomedical_entity_linking_ray.pipelines.similarity import (
+        sorted_neighborhood_pairs,
+    )
+
+    pairs = sorted_neighborhood_pairs(sf_dir, window=window).filter(
+        expr=f"dist <= {max_dist}")
+    nodes = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    return pairs_to_assignments(pairs, sf_dir, nodes=nodes,
+                                id_col="p_partkey")
 
 
 # ---------------------------------------------------------------------------
