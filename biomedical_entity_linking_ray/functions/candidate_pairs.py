@@ -78,7 +78,14 @@ def within_key_pairs(
     if payload is not None:
         payload_on = payload_on or id_col
         payload = payload.materialize()
-        payload_cols = [c for c in payload.schema().names if c != payload_on]
+        # an EMPTY materialized payload reports schema() None; no row can
+        # need a payload column then (every id is absent), so degrade to
+        # payload-less pair enumeration instead of crashing
+        _sc = payload.schema()
+        payload_cols = [c for c in _sc.names if c != payload_on] \
+            if _sc is not None else []
+        if not payload_cols:
+            payload = None
 
     counts = bucketed_aggregate(
         rows.select_columns([key_col]).map_batches(

@@ -853,8 +853,15 @@ def customer_order_counts(
 
     customers = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
-    joined = hash_join(customers, agg, "left_outer", join_partitions,
-                       on=("c_custkey",), right_on=("o_custkey",))
+    # empty aggregate side: Ray 2.49's join crashes on a schema-less empty
+    # input ("No match for key field reference"); every customer is an
+    # outer-null row then, so skip the join and zero-fill directly
+    agg = agg.materialize()
+    if agg.count() == 0:
+        joined = customers
+    else:
+        joined = hash_join(customers, agg, "left_outer", join_partitions,
+                           on=("c_custkey",), right_on=("o_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
         n = pc.fill_null(t["n_orders"], 0) if "n_orders" in t.schema.names \
@@ -895,6 +902,13 @@ def order_rollup(sf_dir: str) -> "ray.data.Dataset":
         ["o_orderstatus", "o_orderpriority"],
         {"n_orders": ("one", "sum"), "s": ("o_totalprice", "sum")},
     ).to_pandas()
+    if len(fine) == 0:  # empty table: grand-total zero row only
+        return ray.data.from_arrow(pa.table({
+            "o_orderstatus": pa.array(["ALL"]),
+            "o_orderpriority": pa.array(["ALL"]),
+            "n_orders": pa.array([0], pa.int64()),
+            "total_price": pa.array([0.0], pa.float64()),
+        }))
 
     by_status = fine.groupby("o_orderstatus", as_index=False)[
         ["n_orders", "s"]].sum()

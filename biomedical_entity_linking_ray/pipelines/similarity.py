@@ -443,10 +443,16 @@ def sorted_neighborhood_pairs(
         return t.append_column(
             "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
 
+    _EMPTY_PAIRS = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("gap", pa.int64()), ("dist", pa.int64())])
+
     keys = bucketed_aggregate(
         parts.select_columns(["p_name"]).map_batches(
             add_one, batch_format="pyarrow"),
         ["p_name"], {"cnt": ("one", "sum")}).materialize()
+    if keys.count() == 0:  # empty table: no ranks, no windows
+        return ray.data.from_arrow(_EMPTY_PAIRS.empty_table())
 
     # 2. sampled ORDERED boundaries (deterministic: keep keys whose hash
     # lands in a fixed residue class, widen until <= ~64 samples/range)

@@ -1013,3 +1013,59 @@ def test_sorted_neighborhood_cross_band_pairs(tmp_path):
     pd.testing.assert_frame_equal(df[["id_a", "id_b", "gap"]], exp)
     # every pair exactly once (no ghost duplicates)
     assert not df.duplicated(["id_a", "id_b"]).any()
+
+
+def test_new_operator_degenerate_inputs(tmp_path):
+    """Empty and single-row inputs: every late-round-4 operator returns an
+    empty/self result with the right schema, no crash."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.dedup import snm_dedup_assignments
+    from biomedical_entity_linking_ray.pipelines.relational import (
+        customer_order_counts,
+        order_rollup,
+        topk_orders_per_customer,
+    )
+    from biomedical_entity_linking_ray.pipelines.similarity import (
+        fuzzy_name_join,
+        sorted_neighborhood_pairs,
+    )
+    from biomedical_entity_linking_ray.pipelines.text_analysis import (
+        heavy_hitter_ngrams,
+    )
+
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_name": pa.array([], pa.string()),
+        "p_brand": pa.array([], pa.string()),
+    }), str(d / "part.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["only two"], pa.string()),  # < n words: no grams
+    }), str(d / "documents.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+        "o_orderstatus": pa.array([], pa.string()),
+        "o_orderpriority": pa.array([], pa.string()),
+        "o_totalprice": pa.array([], pa.float64()),
+    }), str(d / "orders.parquet"))
+
+    assert fuzzy_name_join(str(d)).count() == 0
+    assert sorted_neighborhood_pairs(str(d)).count() == 0
+    snm = snm_dedup_assignments(str(d)).to_pandas()
+    assert len(snm) == 0
+    assert heavy_hitter_ngrams(str(d)).count() == 0
+    coc = customer_order_counts(str(d)).to_pandas()
+    assert coc["n_orders"].tolist() == [0]
+    ro = order_rollup(str(d)).to_pandas()  # grand-total row only, zeros
+    assert len(ro) == 1 and ro["n_orders"].tolist() == [0]
+    assert topk_orders_per_customer(str(d)).count() == 0
