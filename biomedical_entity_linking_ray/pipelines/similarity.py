@@ -402,7 +402,8 @@ def knn_self_join(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
 
 def sorted_neighborhood_pairs(
-    sf_dir: str, window: int = 8, n_ranges: int = 64, band: int = 4096,
+    sf_dir: str, window: int = 8, n_ranges: int | None = None,
+    band: int = 4096,
     broadcast_keys_max: int = 2_000_000, join_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Sorted-neighborhood method (Hernandez & Stolfo 1995): order all parts
@@ -427,6 +428,7 @@ def sorted_neighborhood_pairs(
        element never a ghost), enumerated with index arithmetic.
     The corpus is never globally sorted and no stage holds more than a
     range/band of skinny (key, id, rank) rows."""
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
     from biomedical_entity_linking_ray.functions.joins import (
@@ -436,6 +438,9 @@ def sorted_neighborhood_pairs(
     )
     from biomedical_entity_linking_ray.functions.strings import levenshtein_batch
 
+    # cluster-derived: a range's key_bases group holds ~distinct_keys/n_ranges
+    # rows, so a fixed literal would grow per-task memory with the corpus
+    n_ranges = n_ranges or default_buckets()
     parts = ray.data.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
 

@@ -231,7 +231,7 @@ def dictionary_extract(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
 
 
 def token_packing(
-    sf_dir: str, capacity: int = 512, n_ranges: int = 64,
+    sf_dir: str, capacity: int = 512, n_ranges: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, n_tokens, bin_id, bin_offset): greedy concat-then-chunk packing.
 
@@ -251,8 +251,14 @@ def token_packing(
     import ray as _ray
     from ray.data.aggregate import Max, Min
 
+    from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
     from biomedical_entity_linking_ray.functions.joins import cached_broadcast
+
+    # cluster-derived: a range's pack_range group holds ~N/n_ranges skinny
+    # (id, count) rows, so a fixed literal would grow per-task memory with
+    # the corpus; the driver still only ever holds n_ranges scalars
+    n_ranges = n_ranges or default_buckets()
 
     def count_fn(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
