@@ -475,13 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- near-dup pair family ---
         "minhash_near_dup": dedup.minhash_near_dup_pairs,
         "simhash_near_dup": dedup.simhash_near_dup_pairs,
-        # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
-        # rotated prefixes guarantees a shared bucket, so the LSH recall is
-        # exactly 1.0 and a full SQL oracle applies. all_pairs_max is lifted:
-        # the default per-bucket window bound would silently trade away the
-        # recall guarantee on a >64-member prefix bucket (observed at sf0.1)
-        "simhash_near_dup_exact": lambda sf_dir: dedup.simhash_near_dup_pairs(
-            sf_dir, max_hamming=3, prefix_bits=16, all_pairs_max=1_000_000),
+        # degree distribution of the near-dup graph (first-order threshold
+        # health check; triangles are the second-order one)
+        "near_dup_degrees": dedup.near_dup_degrees,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
         "embedding_near_dup": dedup.embedding_near_dup_exact,
@@ -626,6 +622,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # list -> exact top-k, brute-force oracle verbatim (r2-green)
         "knn_ivf_exhaustive": lambda sf_dir: similarity.knn_ivf(
             sf_dir, n_centroids=16, nprobe=16),
+        # pigeonhole-exact config: <=3 differing bits over 4 disjoint 16-bit
+        # rotated prefixes guarantees a shared bucket, so the LSH recall is
+        # exactly 1.0 and a full SQL oracle applies. all_pairs_max is lifted:
+        # the default per-bucket window bound would silently trade away the
+        # recall guarantee on a >64-member prefix bucket (observed at sf0.1)
+        # (r2-green)
+        "simhash_near_dup_exact": lambda sf_dir: dedup.simhash_near_dup_pairs(
+            sf_dir, max_hamming=3, prefix_bits=16, all_pairs_max=1_000_000),
         # graph analytics over the near-dup graph: per-node triangle counts
         # (clique-vs-chain diagnostic for the dedup threshold)
         "near_dup_triangles": dedup.near_dup_triangles,
@@ -1581,6 +1585,16 @@ def oracle_sql() -> dict[str, str]:
     """
     # per-node triangle counts over the same oracled simhash pair graph:
     # id-ordered orientation, each triangle {u<v<w} found once at u
+    out["near_dup_degrees"] = f"""
+    WITH e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM ({out["simhash_near_dup"]}) q
+    ),
+    nodes AS (
+        SELECT u AS doc_id FROM e UNION ALL SELECT v FROM e
+    )
+    SELECT doc_id, COUNT(*) AS degree FROM nodes GROUP BY doc_id
+    """
     out["near_dup_triangles"] = f"""
     WITH e AS (
         SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v

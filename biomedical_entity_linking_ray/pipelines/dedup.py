@@ -1345,3 +1345,43 @@ def near_dup_triangles(
         tri.map_batches(explode_nodes, batch_format="pyarrow"),
         keys=["doc_id"], aggs={"n_triangles": ("doc_id", "count")},
         n_buckets=n_buckets)
+
+
+def near_dup_degrees(
+    sf_dir: str, n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """(doc_id, degree) over the SimHash near-dup graph -- the degree
+    distribution is the first-order health check of a dedup threshold
+    (heavy right tail = a too-loose threshold gluing the corpus into
+    super-components; `near_dup_triangles` is the second-order check).
+
+    One vectorized explode of each deduped undirected edge into its two
+    endpoint rows, then ONE bucketed count -- no join, no driver state."""
+    from biomedical_entity_linking_ray.functions.groups import (
+        bucketed_aggregate,
+        bucketed_distinct,
+    )
+
+    pairs = simhash_near_dup_pairs(sf_dir)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                         "v": pa.array(np.maximum(a, b), pa.int64())})
+
+    edges = bucketed_distinct(
+        pairs.map_batches(orient, batch_format="pyarrow"),
+        ["u", "v"], n_buckets=n_buckets)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([u, v]), pa.int64()),
+            "one": pa.array(np.ones(2 * len(u), dtype=np.int64)),
+        })
+
+    return bucketed_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["doc_id"], {"degree": ("one", "sum")}, n_buckets=n_buckets)
