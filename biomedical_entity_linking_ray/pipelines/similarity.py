@@ -405,6 +405,7 @@ def sorted_neighborhood_pairs(
     sf_dir: str, window: int = 8, n_ranges: int | None = None,
     band: int = 4096,
     broadcast_keys_max: int = 2_000_000, join_partitions: int = 8,
+    spill_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Sorted-neighborhood method (Hernandez & Stolfo 1995): order all parts
     by (p_name, p_partkey) and emit every pair within `window` positions,
@@ -455,7 +456,12 @@ def sorted_neighborhood_pairs(
     keys = bucketed_aggregate(
         parts.select_columns(["p_name"]).map_batches(
             add_one, batch_format="pyarrow"),
-        ["p_name"], {"cnt": ("one", "sum")}).materialize()
+        ["p_name"], {"cnt": ("one", "sum")})
+    if spill_dir is not None:  # 10^12-row path: lineage on disk, resumable
+        keys.write_parquet(os.path.join(spill_dir, "keys"))
+        keys = ray.data.read_parquet(os.path.join(spill_dir, "keys"))
+    else:
+        keys = keys.materialize()
     if keys.count() == 0:  # empty table: no ranks, no windows
         return ray.data.from_arrow(_EMPTY_PAIRS.empty_table())
 
@@ -500,7 +506,12 @@ def sorted_neighborhood_pairs(
         return g[["p_name", "key_base"]]
 
     kb = ranged.groupby("__range").map_groups(
-        key_bases, batch_format="pandas").materialize()
+        key_bases, batch_format="pandas")
+    if spill_dir is not None:
+        kb.write_parquet(os.path.join(spill_dir, "key_bases"))
+        kb = ray.data.read_parquet(os.path.join(spill_dir, "key_bases"))
+    else:
+        kb = kb.materialize()
 
     # 4. row ranks: key base + id position within the key
     n_keys = kb.count()

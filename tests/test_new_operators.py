@@ -1069,3 +1069,33 @@ def test_new_operator_degenerate_inputs(tmp_path):
     ro = order_rollup(str(d)).to_pandas()  # grand-total row only, zeros
     assert len(ro) == 1 and ro["n_orders"].tolist() == [0]
     assert topk_orders_per_customer(str(d)).count() == 0
+
+
+def test_sorted_neighborhood_spill_dir(tmp_path):
+    """spill_dir Parquet path: identical pairs to the in-memory run."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.pipelines.similarity import (
+        sorted_neighborhood_pairs,
+    )
+
+    n = 60
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "p_partkey": pa.array(range(n), pa.int64()),
+        "p_name": pa.array([f"n{rng.integers(0, 20):02d}" for _ in range(n)],
+                           pa.string()),
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "part.parquet"))
+    mem = sorted_neighborhood_pairs(str(d), window=4, band=16, n_ranges=4) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    sp = sorted_neighborhood_pairs(str(d), window=4, band=16, n_ranges=4,
+                                   spill_dir=str(tmp_path / "spill")) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mem, sp)
+    assert (tmp_path / "spill" / "keys").exists()
