@@ -336,7 +336,10 @@ def fuzzy_name_join(
     Scale shape: blocking-key pair enumeration rides `within_key_pairs`
     (singleton blocks drop map-side, surviving rows cross ONE bounded coarse
     shuffle; names attach via the payload broadcast/enrich-once path, so the
-    pair stream before verify is skinny ids). Verification is the batched
+    pair stream before verify is skinny ids; for these ~10-byte names the
+    in-row alternative measures within noise of the payload path -- 2.4 vs
+    2.6 s warm at sf0.1 -- so the payload shape is kept for its generality
+    to wide payloads). Verification is the batched
     anti-diagonal-free DP of `strings.levenshtein_batch` -- one
     np.minimum.accumulate per DP row over the whole batch, repeated pairs
     factorized to uniques. The quadratic term is bounded by the caller's
