@@ -32,6 +32,7 @@ feats_ref / enrich-once pattern as stages/fused_scoring.py.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable
 
 import numpy as np
@@ -68,7 +69,16 @@ def within_key_pairs(
     payload: "ray.data.Dataset | None" = None,
     payload_on: str | None = None,
     payload_broadcast_max: int = 500_000,
+    payload_columns: "list[str] | None" = None,
+    strict_all_pairs: bool = False,
 ) -> "ray.data.Dataset":
+    """See module docstring. `payload_columns` declares the payload column
+    names up front so that an EMPTY payload table (whose schema Ray reports
+    as None) still reaches `emit` as all-null columns instead of vanishing --
+    an empty payload does not guarantee zero surviving pair groups for every
+    caller. `strict_all_pairs=True` raises instead of silently degrading to
+    sorted-neighborhood window pairs when a block exceeds `all_pairs_max`
+    (callers whose result is contractually exhaustive must pass it)."""
     from biomedical_entity_linking_ray.config import default_buckets
 
     n_coarse = n_coarse or default_buckets()
@@ -78,14 +88,22 @@ def within_key_pairs(
     if payload is not None:
         payload_on = payload_on or id_col
         payload = payload.materialize()
-        # an EMPTY materialized payload reports schema() None; no row can
-        # need a payload column then (every id is absent), so degrade to
-        # payload-less pair enumeration instead of crashing
+        # an EMPTY materialized payload reports schema() None; with declared
+        # payload_columns we still attach them (as all-null via the reindex
+        # in pairs_of_coarse) so emit sees a consistent frame; without a
+        # declaration, degrade to payload-less enumeration
         _sc = payload.schema()
         payload_cols = [c for c in _sc.names if c != payload_on] \
-            if _sc is not None else []
+            if _sc is not None else list(payload_columns or [])
         if not payload_cols:
             payload = None
+        elif _sc is None:
+            import ray as _ray
+
+            payload_ref = _ray.put(pd.DataFrame(
+                {payload_on: pd.Series(dtype=object),
+                 **{c: pd.Series(dtype=object) for c in payload_cols}}))
+            payload = None  # broadcast/join sizing below not needed
 
     counts = bucketed_aggregate(
         rows.select_columns([key_col]).map_batches(
@@ -178,6 +196,18 @@ def within_key_pairs(
                 ia_all.append(iu[0] + s)
                 ib_all.append(iu[1] + s)
             else:
+                if strict_all_pairs:
+                    raise ValueError(
+                        f"within_key_pairs: block {keys[s]!r} has {ln} "
+                        f"members > all_pairs_max={all_pairs_max}; exact "
+                        "enumeration requested (strict_all_pairs). Use a "
+                        "finer blocking key or raise all_pairs_max.")
+                warnings.warn(
+                    f"within_key_pairs: block {keys[s]!r} has {ln} members "
+                    f"> all_pairs_max={all_pairs_max}; degrading to "
+                    f"sorted-neighborhood window={window} pairs (result is "
+                    "no longer exhaustive within this block)",
+                    RuntimeWarning, stacklevel=2)
                 ia_all.append(np.concatenate(
                     [np.arange(s, s + ln - w) for w in range(1, window + 1)]))
                 ib_all.append(np.concatenate(

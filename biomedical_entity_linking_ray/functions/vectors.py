@@ -36,3 +36,60 @@ def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
             f"[{widths.min()}, {widths.max()}]")
     flat = ca.flatten().to_numpy(zero_copy_only=False)
     return flat.astype(dtype, copy=False).reshape(n, int(widths[0]))
+
+
+def binary_column_to_matrix(col, dtype, width: int) -> np.ndarray:
+    """Fixed-width `binary` sketch column -> (n, width) ndarray, zero-copy.
+
+    Every signature consumer (MinHash band explode, SimHash verify, pair
+    scoring, LSH plane projection) stores per-row sketches as equal-length
+    `binary` values. The portable decode -- ``b"".join(col.to_pylist())`` --
+    materializes n Python bytes objects plus one full copy per batch; on the
+    measured flagship that path is part of the 8.1 s s0/explode wall at
+    32 CPUs. Equal-width null-free binary values are laid out contiguously
+    in the Arrow data buffer, so this helper views that buffer directly
+    (``np.frombuffer`` on the chunk's data buffer, sliced by the chunk's
+    value offsets) and reshapes -- no per-row objects, no copy. Values are
+    bit-identical to the join path; irregular layouts (nulls, ragged widths,
+    non-contiguous offsets) fall back to the join path per chunk.
+
+    `width` is the element count per row at `dtype` (e.g. num_perm uint64
+    words), used both for the reshape and the regularity check.
+    """
+    item = np.dtype(dtype).itemsize
+    row_bytes = width * item
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    outs: list[np.ndarray] = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        if pa.types.is_fixed_size_binary(ch.type) and ch.null_count == 0:
+            if ch.type.byte_width != row_bytes:
+                raise ValueError(
+                    f"fixed_size_binary width {ch.type.byte_width} != "
+                    f"expected {row_bytes}")
+            raw = np.frombuffer(ch.buffers()[1], dtype=np.uint8)
+            start = ch.offset * row_bytes
+            outs.append(raw[start:start + n * row_bytes]
+                        .view(dtype).reshape(n, width))
+            continue
+        if (pa.types.is_binary(ch.type) or pa.types.is_large_binary(ch.type)) \
+                and ch.null_count == 0:
+            off_dtype = np.int64 if pa.types.is_large_binary(ch.type) \
+                else np.int32
+            offs = np.frombuffer(ch.buffers()[1], dtype=off_dtype)[
+                ch.offset:ch.offset + n + 1].astype(np.int64)
+            steps = np.diff(offs)
+            if steps.size and steps.min() == row_bytes \
+                    and steps.max() == row_bytes:
+                raw = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+                outs.append(raw[offs[0]:offs[-1]]
+                            .view(dtype).reshape(n, width))
+                continue
+        # irregular chunk (nulls / ragged / unexpected type): portable path
+        outs.append(np.frombuffer(b"".join(ch.to_pylist()), dtype=dtype)
+                    .reshape(-1, width))
+    if not outs:
+        return np.empty((0, width), dtype=dtype)
+    return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)

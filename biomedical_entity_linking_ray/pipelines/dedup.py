@@ -26,7 +26,10 @@ import ray.data
 from ray.data.aggregate import Min
 
 from biomedical_entity_linking_ray.functions import hashing
-from biomedical_entity_linking_ray.functions.vectors import list_column_to_matrix
+from biomedical_entity_linking_ray.functions.vectors import (
+    binary_column_to_matrix,
+    list_column_to_matrix,
+)
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
@@ -151,8 +154,7 @@ def minhash_near_dup_pairs(
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        sigs = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64
-                             ).reshape(n, num_perm)
+        sigs = binary_column_to_matrix(t["sig"], np.uint64, num_perm)
         bh = hashing.band_hashes_batch(sigs, bands)          # (n, bands)
         bucket = hashing.splitmix64(
             (bh ^ band_salt[None, :]).ravel()).view(np.int64)
@@ -568,8 +570,7 @@ def embedding_near_dup_pairs(
     def explode(t: pa.Table) -> pa.Table:
         pls = _ray.get(planes_ref)
         n = t.num_rows
-        unit = np.frombuffer(b"".join(t["unit"].to_pylist()), dtype=dtype
-                             ).reshape(n, dim)
+        unit = binary_column_to_matrix(t["unit"], dtype, dim)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         keys = np.empty(len(pls) * n, dtype=np.int64)
         for r, P in enumerate(pls):

@@ -343,9 +343,10 @@ def fuzzy_name_join(
     anti-diagonal-free DP of `strings.levenshtein_batch` -- one
     np.minimum.accumulate per DP row over the whole batch, repeated pairs
     factorized to uniques. The quadratic term is bounded by the caller's
-    blocking key: `all_pairs_max` caps exact enumeration per block (beyond
-    it, sorted-neighborhood windows apply and the join is no longer
-    exhaustive -- size it to the largest block the key can produce)."""
+    blocking key: `all_pairs_max` caps exact enumeration per block, and
+    because this join is contractually exhaustive the helper runs in strict
+    mode -- a block past the cap RAISES (pick a finer blocking key or raise
+    the cap) instead of silently degrading to window pairs."""
     from biomedical_entity_linking_ray.functions.candidate_pairs import (
         within_key_pairs,
     )
@@ -363,9 +364,13 @@ def fuzzy_name_join(
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
                              "name_a": nm[ia], "name_b": nm[ib]})
 
+    # strict: this join is contractually EXHAUSTIVE (the registered oracle is
+    # an exact blocked self-join) -- a block past all_pairs_max must raise,
+    # not silently degrade to window pairs
     pairs = within_key_pairs(
         skinny, block_col, "p_partkey", emit=emit,
-        all_pairs_max=all_pairs_max, payload=names, payload_on="p_partkey")
+        all_pairs_max=all_pairs_max, payload=names, payload_on="p_partkey",
+        payload_columns=["p_name"], strict_all_pairs=True)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -431,7 +436,14 @@ def sorted_neighborhood_pairs(
        the next band: every window pair lives in exactly one band (left
        element never a ghost), enumerated with index arithmetic.
     The corpus is never globally sorted and no stage holds more than a
-    range/band of skinny (key, id, rank) rows."""
+    range/band of skinny (key, id, rank) rows.
+
+    `band` must exceed `window` (ghosting covers exactly one boundary per
+    pair); undersized bands are clamped to 2*window rather than silently
+    dropping pairs that span more than one boundary."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    band = max(band, 2 * window)
     from biomedical_entity_linking_ray.config import default_buckets
     from biomedical_entity_linking_ray.functions import hashing
     from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
@@ -465,15 +477,25 @@ def sorted_neighborhood_pairs(
         keys = ray.data.read_parquet(os.path.join(spill_dir, "keys"))
     else:
         keys = keys.materialize()
-    if keys.count() == 0:  # empty table: no ranks, no windows
+    n_keys_total = keys.count()
+    if n_keys_total == 0:  # empty table: no ranks, no windows
         return ray.data.from_arrow(_EMPTY_PAIRS.empty_table())
 
-    # 2. sampled ORDERED boundaries (deterministic: keep keys whose hash
-    # lands in a fixed residue class, widen until <= ~64 samples/range)
+    # 2. sampled ORDERED boundaries. The residue modulus is DERIVED from the
+    # distinct-key count so the driver pull is bounded at ~64 samples/range
+    # regardless of cardinality (a fixed modulus would pull O(n_keys/mod)
+    # rows -- a driver OOM at 10^9+ distinct keys). Hash-residue sampling is
+    # deterministic and uniform, so boundaries only steer range balance; the
+    # final ranks are exact for ANY boundary choice (per-range cumsum + exact
+    # range prefix sums), so this knob never affects output values.
+    sample_target = max(64 * n_ranges, 256)
+    mod = np.uint64(max(1, 1 << max(
+        0, int(n_keys_total / sample_target - 1).bit_length())))
+
     def sample(t: pa.Table) -> pa.Table:
         h = hashing.fnv1a_fixed(t["p_name"].to_numpy(zero_copy_only=False),
                                 width=64)
-        return t.select(["p_name"]).filter(pa.array(h % np.uint64(16) == 0))
+        return t.select(["p_name"]).filter(pa.array(h % mod == np.uint64(0)))
 
     sampled = keys.map_batches(sample, batch_format="pyarrow").to_pandas()
     pool = np.sort(sampled["p_name"].to_numpy()) if len(sampled) else np.array([])

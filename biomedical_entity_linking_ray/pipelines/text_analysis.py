@@ -752,6 +752,9 @@ def heavy_hitter_ngrams(
     from biomedical_entity_linking_ray.functions.joins import cached_broadcast
 
     docs = read_documents(sf_dir, ["text"])
+    _EMPTY_HH = pa.schema([("gram", pa.string()), ("n", pa.int64())])
+    if docs.count() == 0:  # aggregate() returns None on an empty dataset
+        return ray.data.from_arrow(_EMPTY_HH.empty_table())
 
     def acc_block(acc: np.ndarray, block) -> np.ndarray:
         texts = block["text"] if isinstance(block, pa.Table) \

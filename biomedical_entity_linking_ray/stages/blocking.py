@@ -38,6 +38,7 @@ from biomedical_entity_linking_ray.config import LinkageConfig, effective_partit
 from biomedical_entity_linking_ray.functions import hashing
 from biomedical_entity_linking_ray.functions.groups import bucketed_aggregate
 from biomedical_entity_linking_ray.functions.joins import hash_join
+from biomedical_entity_linking_ray.functions.vectors import binary_column_to_matrix
 
 
 # Blocker registry (SURVEY 2.11 extension surface, next to the encoder and
@@ -94,8 +95,7 @@ def emit_block_keys(reps: "ray.data.Dataset", cfg: LinkageConfig) -> "ray.data.D
             return _EMPTY
         parts: list[pa.Table] = []
         if cfg.use_minhash_keys:
-            sig_buf = b"".join(batch["sig"].to_pylist())
-            sigs = np.frombuffer(sig_buf, dtype=np.uint16).reshape(n, cfg.num_perm)
+            sigs = binary_column_to_matrix(batch["sig"], np.uint16, cfg.num_perm)
             bh = hashing.band_hashes_batch(sigs, bands)          # (n, bands)
             # row-major explode, fully vectorized: nibble-table hex, Arrow
             # take for the repeated lang/file_id columns, one Arrow join

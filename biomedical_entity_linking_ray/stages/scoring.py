@@ -27,12 +27,12 @@ import ray.data
 
 from biomedical_entity_linking_ray.config import LinkageConfig
 from biomedical_entity_linking_ray.functions.strings import jaro_winkler_pairs
+from biomedical_entity_linking_ray.functions.vectors import binary_column_to_matrix
 
 
 def _binary_to_np(col: pa.ChunkedArray, width: int, dtype) -> np.ndarray:
-    """(n, width) matrix from a binary sketch column (one frombuffer per batch)."""
-    buf = b"".join(col.to_pylist())
-    return np.frombuffer(buf, dtype=dtype).reshape(-1, width)
+    """(n, width) matrix from a binary sketch column (zero-copy buffer view)."""
+    return binary_column_to_matrix(col, dtype, width)
 
 
 class PairScorer:
