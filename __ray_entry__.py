@@ -101,6 +101,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return multimodal.image_feature_pipeline(sf_dir).map_batches(
             cast, batch_format="pyarrow")
 
+    def _anchored_clusters(sf_dir: str):
+        """Anchored partition over the flagship's JOINT scored graph
+        (mention-mention edges included): anchors are a deterministic
+        input-side subset of the planted corpus (fnv1a(file_id) % 4 == 0,
+        the 'dictionary rows' of this synthetic world). Every refined
+        cluster whose coarse component held an anchor retains one
+        (reference invariant, eval_cluster_linking.py:253-255)."""
+        import numpy as _np
+        import pyarrow as _pa
+
+        from biomedical_entity_linking_ray.functions import hashing as _hg
+        from biomedical_entity_linking_ray.stages.anchored import (
+            anchored_partition,
+        )
+
+        res = _planted_linkage(sf_dir)
+
+        def pick(t: _pa.Table) -> _pa.Table:
+            h = _hg.fnv1a_fixed(
+                t["file_id"].to_numpy(zero_copy_only=False), width=64)
+            return t.select(["file_id"]).filter(
+                _pa.array(h % _np.uint64(4) == 0))
+
+        anchors = res.assignments.map_batches(pick, batch_format="pyarrow")
+        # full joint graph = scored pairs (>= tau) + exact-duplicate bonds
+        # (rep<->member from contraction, score 2.0 > any real score: the
+        # sweep processes them first, so identical-content rows ride with
+        # their rep unless both sides are already anchored -- the one case
+        # the greedy may split, keeping each anchor its own cluster)
+        def bonds(t: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as _pc
+
+            t = t.filter(_pc.invert(_pc.equal(t["file_id"], t["rep_id"])))
+            return _pa.table({
+                "id_a": t["rep_id"], "id_b": t["file_id"],
+                "score": _pa.array(
+                    _np.full(t.num_rows, 2.0), _pa.float64())})
+
+        edges = res.edges.select_columns(["id_a", "id_b", "score"]).union(
+            res.members.select_columns(["file_id", "rep_id"]).map_batches(
+                bonds, batch_format="pyarrow"))
+        return anchored_partition(edges, res.assignments, anchors) \
+            .sort(["file_id"])
+
     def linkage_assignments(sf_dir: str):
         """The REAL flagship pipeline in its DEFAULT config (near-dup scoring
         active, tau=0.62) over the planted corpus derived from documents
@@ -522,6 +566,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the SNM merge/purge cascade: window pairs (dist <= 1) -> CC ->
         # keep-one; recursive-CTE closure oracle over the part table
         "snm_dedup": dedup.snm_dedup_assignments,
+        # --- new in round 5: anchored-cluster partition (reference G2) ---
+        # bipartite mention->anchor graph through the REAL generic stage
+        # (exact edges -> CC -> fused anchored sweep); on bipartite input the
+        # refined partition provably collapses to per-mention argmax, which
+        # IS the SQL oracle (see pipelines/similarity.py docstring)
+        "anchored_assign_bipartite": similarity.anchored_assign_bipartite,
+        # joint graph (mention-mention edges included) over the flagship's
+        # planted corpus: the general greedy semantics SQL can't express --
+        # rows-only at the driver; invariants pinned in tests/test_anchored.py
+        "anchored_clusters": _anchored_clusters,
         # Count-Min-sketch heavy-hitter 3-grams: sketch prunes map-side,
         # exact pass verifies -- value-exact through the probabilistic prune
         "heavy_hitter_ngrams": text_analysis.heavy_hitter_ngrams,
@@ -833,6 +887,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.rn - a.rn AS BIGINT) AS gap,
                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 8
+    """
+    # anchored partition, bipartite reduction: a mention joins exactly its
+    # argmax-cosine anchor (anchor ASC tie-break) -- the greedy sweep's first
+    # merge per mention; every later edge joins two anchored sides and is
+    # refused. DOUBLE[] cast + 4-dp round-before-rank per the knn contract.
+    out["anchored_assign_bipartite"] = """
+        WITH a AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 25
+        ),
+        m AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM a)
+        ),
+        s AS (
+            SELECT m.vec_id, a.vec_id AS anchor_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(m.embedding AS DOUBLE[]),
+                       CAST(a.embedding AS DOUBLE[])), 4) AS cosine
+            FROM m CROSS JOIN a
+        ),
+        r AS (
+            SELECT vec_id, anchor_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, anchor_id ASC
+                                     ) AS rk
+            FROM s
+        )
+        SELECT vec_id, anchor_id AS canonical_id FROM r WHERE rk = 1
+        UNION ALL
+        SELECT vec_id, vec_id AS canonical_id FROM a
     """
     out["snm_dedup"] = """
         WITH RECURSIVE r AS (

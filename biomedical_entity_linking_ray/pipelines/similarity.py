@@ -631,3 +631,89 @@ def sorted_neighborhood_pairs(
 
     return ranked.map_batches(to_bands, batch_format="pyarrow") \
         .groupby("__band").map_groups(window_pairs, batch_format="pandas")
+
+
+def anchored_assign_bipartite(
+    sf_dir: str, n_anchors: int = 25, k: int = 3,
+) -> "ray.data.Dataset":
+    """(vec_id, canonical_id): anchored-cluster partition over a bipartite
+    mention->anchor candidate graph (reference G2 semantics,
+    special_partition.pyx:288-356 run through stages/anchored.py).
+
+    Anchors are the `n_anchors` smallest vec_ids (ORDER BY vec_id LIMIT n --
+    the oracle-expressible pick); every other vector is a mention whose
+    candidate edges are its top-`k` anchors by 4-dp-rounded cosine. The REAL
+    generic machinery runs end-to-end -- exact kernel edges, distributed
+    connected components, the fused anchored sweep -- and on a bipartite
+    graph the refined partition provably collapses to per-mention argmax
+    (cosine DESC, anchor_id ASC): a mention's side is unanchored until its
+    first (= best) edge merges, and every later edge joins two anchored
+    sides and is refused. That closed form IS the SQL oracle.
+
+    Scale shape: the anchor matrix broadcasts once via `ray.put` (anchor
+    dictionaries are small relative to the corpus); mentions stream in one
+    map_batches with a per-row top-k cut -- no shuffle before the skinny
+    edge stream. Ids are zero-padded strings inside the stage (the stage's
+    key type) and decode back to int64 at the end.
+    """
+    from biomedical_entity_linking_ray.config import LinkageConfig
+    from biomedical_entity_linking_ray.stages.anchored import anchored_partition
+    from biomedical_entity_linking_ray.stages.clustering import connected_components
+
+    qids, A = load_query_matrix(sf_dir, n_anchors)
+    an = np.linalg.norm(A, axis=1, keepdims=True)
+    an[an == 0] = 1.0
+    Au = A / an
+    a_ref = ray.put((qids, Au))
+    _pad = "a{:012d}".format
+
+    def edges_fn(t: pa.Table) -> pa.Table:
+        aids, Au_ = ray.get(a_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(ids, aids)  # mentions only
+        if not keep.any():
+            return pa.table({"id_a": pa.array([], pa.string()),
+                             "id_b": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        V = list_column_to_matrix(t["embedding"], np.float64)[keep]
+        ids = ids[keep]
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        sims = np.round((V / vn) @ Au_.T, 4)  # (m, n_anchors)
+        kk = min(k, len(aids))
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            order = np.lexsort((aids, -sims[i]))[:kk]
+            out_a.extend([_pad(ids[i])] * order.size)
+            out_b.extend(_pad(aids[j]) for j in order)
+            out_s.extend(sims[i, order].tolist())
+        return pa.table({"id_a": pa.array(out_a, pa.string()),
+                         "id_b": pa.array(out_b, pa.string()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    edges = _read_embeddings(sf_dir).map_batches(
+        edges_fn, batch_format="pyarrow", batch_size=4096)
+
+    def node_fn(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"file_id": pa.array(
+            [_pad(i) for i in ids], pa.string())})
+
+    nodes = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"],
+    ).map_batches(node_fn, batch_format="pyarrow")
+    coarse = connected_components(edges, nodes, LinkageConfig())
+    anchors_ds = ray.data.from_arrow(pa.table({
+        "file_id": pa.array([_pad(i) for i in np.sort(qids)], pa.string())}))
+    refined = anchored_partition(edges, coarse, anchors_ds)
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "vec_id": pc.utf8_slice_codeunits(t["file_id"], 1, 13)
+                        .cast(pa.int64()),
+            "canonical_id": pc.utf8_slice_codeunits(t["canonical_id"], 1, 13)
+                              .cast(pa.int64()),
+        })
+
+    return refined.map_batches(decode, batch_format="pyarrow")

@@ -255,7 +255,9 @@ def anchored_partition(
         return out[["file_id", "cluster_id", "canonical_id"]]
 
     refined = flagged.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(refine, batch_format="pandas")
+        .groupby("__bucket").map_groups(refine, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")  # normalize block
+    # type to Arrow so downstream union/sort never mixes pandas+arrow blocks
 
     # ---- edgeless nodes (singleton coarse clusters) pass through unchanged
     def singles_of(t: pa.Table) -> pa.Table:

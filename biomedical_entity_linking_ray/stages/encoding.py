@@ -76,7 +76,82 @@ class DocEncoder:
 # carry plain strings). The default "projection" encoder is the deterministic
 # stand-in above; a real transformer drops in without touching pipeline code.
 
-ENCODER_REGISTRY: dict[str, type] = {"projection": DocEncoder}
+class TransformerEncoder:
+    """Real pretrained-model encoder (reference T5-T7: the GPU BERT actor
+    pool of embed_and_index, data_process.py:565-684, and sapbert
+    embed_dense, model_wrapper.py:169-233).
+
+    Import-guarded: this container ships no torch, so construction raises a
+    clear ImportError unless `sentence_transformers` (preferred) or
+    `transformers`+`torch` are installed -- the registry entry exists either
+    way so job configs naming it fail fast with an actionable message rather
+    than a KeyError. When the dependency exists the model loads ONCE per
+    actor (__init__) and __call__ does one batched forward per Arrow batch,
+    mean-pooled + L2-normalized when going through raw transformers. Pass
+    `num_gpus` to `encode_documents` to reserve GPUs per actor."""
+
+    def __init__(self, model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+                 device: str | None = None, max_length: int = 256):
+        self.max_length = max_length
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+
+            self._st = SentenceTransformer(model_name, device=device)
+            self._mode = "st"
+            return
+        except ImportError:
+            pass
+        try:
+            import torch  # type: ignore
+            from transformers import AutoModel, AutoTokenizer  # type: ignore
+
+            self._torch = torch
+            self._tok = AutoTokenizer.from_pretrained(model_name)
+            self._model = AutoModel.from_pretrained(model_name)
+            if device:
+                self._model = self._model.to(device)
+            self._model.eval()
+            self._device = device
+            self._mode = "hf"
+        except ImportError as e:
+            raise ImportError(
+                "TransformerEncoder needs `sentence_transformers` or "
+                "`transformers`+`torch`; neither is installed. Use the "
+                "default 'projection' encoder or install a model runtime."
+            ) from e
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        if self._mode == "st":
+            emb = self._st.encode(
+                texts, batch_size=len(texts), convert_to_numpy=True,
+                normalize_embeddings=True)
+        else:
+            torch = self._torch
+            enc = self._tok(texts, padding=True, truncation=True,
+                            max_length=self.max_length, return_tensors="pt")
+            if getattr(self, "_device", None):
+                enc = {k: v.to(self._device) for k, v in enc.items()}
+            with torch.no_grad():
+                out = self._model(**enc).last_hidden_state
+            mask = enc["attention_mask"].unsqueeze(-1).to(out.dtype)
+            emb = ((out * mask).sum(1) / mask.sum(1).clamp(min=1)) \
+                .cpu().numpy()
+            nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            emb = emb / nrm
+        emb = emb.astype(np.float32)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "embedding": pa.array([row.tolist() for row in emb],
+                                  pa.list_(pa.float32())),
+        })
+
+
+ENCODER_REGISTRY: dict[str, type] = {
+    "projection": DocEncoder,
+    "transformer": TransformerEncoder,
+}
 
 
 def register_encoder(name: str, cls: type) -> None:
@@ -103,22 +178,29 @@ def encode_documents(
     batch_size: int = 512,
     encoder: "str | type" = "projection",
     encoder_kwargs: dict | None = None,
+    num_gpus: float | None = None,
 ) -> "ray.data.Dataset":
     """docs(doc_id, text) -> (doc_id, embedding list<float32>) via the warm
     encoder actor pool. `encoder` is a registry name or a class honoring the
-    registry contract; kwargs reach its __init__ (once per actor)."""
+    registry contract; kwargs reach its __init__ (once per actor).
+    `num_gpus` reserves GPU fractions per actor for real-model encoders
+    (the reference's GPU BERT pool, data_process.py:565-684)."""
     from biomedical_entity_linking_ray.stages.normalize import pool_size
 
     cls = resolve_encoder(encoder)
     kwargs = dict(encoder_kwargs or {})
     if cls is DocEncoder:
         kwargs.setdefault("out_dim", out_dim)
+    extra: dict = {}
+    if num_gpus is not None:
+        extra["num_gpus"] = num_gpus
     return docs.map_batches(
         cls,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool_size(concurrency or 4),
+        **extra,
     )
 
 

@@ -211,3 +211,66 @@ def test_fuzzy_name_join_strict_contract():
     # an artificially tiny cap must surface as an error, not silent windows
     with pytest.raises(Exception):
         fuzzy_name_join(SF_DIR, max_dist=3, all_pairs_max=2).materialize()
+
+
+# ---------------------------------------------------------------------------
+# transformer encoder registry entry (reference T5-T7 real-model slot)
+# ---------------------------------------------------------------------------
+
+def _has_model_runtime() -> bool:
+    try:
+        import sentence_transformers  # noqa: F401
+        return True
+    except ImportError:
+        pass
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_transformer_encoder_registered_and_guarded():
+    from biomedical_entity_linking_ray.stages.encoding import (
+        ENCODER_REGISTRY,
+        TransformerEncoder,
+        resolve_encoder,
+    )
+
+    assert resolve_encoder("transformer") is TransformerEncoder
+    assert "projection" in ENCODER_REGISTRY
+    if not _has_model_runtime():
+        with pytest.raises(ImportError, match="projection"):
+            TransformerEncoder()
+
+
+@pytest.mark.skipif(not _has_model_runtime(),
+                    reason="no torch/sentence-transformers in container")
+def test_transformer_encoder_encodes(tmp_path):
+    import pyarrow.parquet as pq
+
+    from biomedical_entity_linking_ray.stages.encoding import (
+        embed_documents_pipeline,
+    )
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["hello world", "goodbye world"], pa.string()),
+    }), tmp_path / "documents.parquet")
+    out = embed_documents_pipeline(str(tmp_path), encoder="transformer") \
+        .to_pandas()
+    assert len(out) == 2
+    assert all(len(e) > 0 for e in out["embedding"])
+
+
+def test_encode_documents_num_gpus_plumbing():
+    """num_gpus must reach map_batches without breaking the CPU path when
+    left unset (this box has no GPU, so only the unset path executes)."""
+    import ray.data as rd
+
+    from biomedical_entity_linking_ray.stages.encoding import encode_documents
+
+    docs = rd.from_items([{"doc_id": 1, "text": "alpha beta"}])
+    out = encode_documents(docs, concurrency=1).to_pandas()
+    assert len(out) == 1 and len(out["embedding"].iloc[0]) == 64
