@@ -145,6 +145,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return anchored_partition(edges, res.assignments, anchors) \
             .sort(["file_id"])
 
+    def _minhash_nonascii(sf_dir: str):
+        """minhash_near_dup over a derived MULTIBYTE corpus: every 'e'
+        becomes 'é' (2 UTF-8 bytes), so shingle windows straddle multibyte
+        boundaries everywhere. The Ray side hashes UTF-8 bytes as always;
+        the oracle shingles hex(encode(text)) at byte granularity."""
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import ray.data as _rd
+
+        def to_nonascii(t: _pa.Table) -> _pa.Table:
+            return _pa.table({
+                "doc_id": t["doc_id"],
+                "text": _pc.replace_substring(t["text"], "e", "é"),
+            })
+
+        docs = _rd.read_parquet(
+            _os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).map_batches(to_nonascii, batch_format="pyarrow")
+        return dedup.minhash_near_dup_pairs(sf_dir, docs=docs)
+
     def linkage_assignments(sf_dir: str):
         """The REAL flagship pipeline in its DEFAULT config (near-dup scoring
         active, tau=0.62) over the planted corpus derived from documents
@@ -576,6 +599,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planted corpus: the general greedy semantics SQL can't express --
         # rows-only at the driver; invariants pinned in tests/test_anchored.py
         "anchored_clusters": _anchored_clusters,
+        # MinHash over a MULTIBYTE corpus (every 'e' -> 'é'): same Ray
+        # cascade, byte-granular SQL shingles -- lifts the ASCII scope
+        # assumption of the minhash/ngram oracle family
+        "minhash_near_dup_nonascii": _minhash_nonascii,
         # Count-Min-sketch heavy-hitter 3-grams: sketch prunes map-side,
         # exact pass verifies -- value-exact through the probabilistic prune
         "heavy_hitter_ngrams": text_analysis.heavy_hitter_ngrams,
@@ -1419,8 +1446,9 @@ def oracle_sql() -> dict[str, str]:
     ), smx3 AS (
       SELECT doc_id, bin, v, {_mulmod('xor(x, x // 134217728::HUGEINT)', 0x94D049BB133111EB)} AS x FROM smx2
     """
-    _mh_cand = f"""
-    WITH mh_sh AS (
+    # codepoint shingles == byte shingles on the ASCII synthetic corpus; the
+    # byte variant below lifts that scope assumption for multibyte text
+    _mh_sh_ascii = f"""
       SELECT doc_id, unnest([
           list_reduce(
             list_concat([14695981039346656037::HUGEINT],
@@ -1429,6 +1457,30 @@ def oracle_sql() -> dict[str, str]:
           )
           for i in range(1, greatest(length(text) - 3, 0) + 1)]) AS h
       FROM documents
+    """
+    # TRUE byte semantics (matches Ray's UTF-8 sliding window exactly for
+    # any text): hex(encode(text)) -> per-byte nibble decode -> FNV-1a over
+    # 4-BYTE windows. `src` supplies (doc_id, text) -- derived corpora plug
+    # in a SELECT with transformed text.
+    def _mh_sh_bytes(src: str) -> str:
+        _b = ("(16*(strpos('0123456789ABCDEF', hs[2*(i+j)-1:2*(i+j)-1])-1)"
+              " + (strpos('0123456789ABCDEF', hs[2*(i+j):2*(i+j)])-1))"
+              "::HUGEINT")
+        return f"""
+      SELECT doc_id, unnest([
+          list_reduce(
+            list_concat([14695981039346656037::HUGEINT],
+              [{_b} for j in range(0, 4)]),
+            (acc, b) -> ((xor(acc, b) * 1099511628211::HUGEINT) % {M})
+          )
+          for i in range(1, greatest(nb - 3, 0) + 1)]) AS h
+      FROM (SELECT doc_id, hex(encode(text)) AS hs,
+                   octet_length(encode(text)) AS nb FROM ({src}))
+    """
+
+    _mh_cand = f"""
+    WITH mh_sh AS (
+    {_mh_sh_ascii}
     ), capped AS (
       SELECT doc_id, h FROM (
         SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
@@ -1483,12 +1535,22 @@ def oracle_sql() -> dict[str, str]:
        AND (a.n <= 64 OR b.rn - a.rn <= 8)
     )
     """
-    out["minhash_near_dup"] = _mh_cand + """
+    _mh_verify = """
     SELECT id_a, id_b,
            (len(list_filter(range(1, 129), i -> sa[i] = sb[i])))::DOUBLE / 128.0 AS jaccard_est
     FROM cand
     WHERE (len(list_filter(range(1, 129), i -> sa[i] = sb[i])))::DOUBLE / 128.0 >= 0.6
     """
+    out["minhash_near_dup"] = _mh_cand + _mh_verify
+    # non-ASCII parity: the SAME cascade over a multibyte-derived corpus
+    # (every 'e' -> 'é'), shingled at TRUE byte granularity -- proves the
+    # Ray byte hashing and the SQL agree beyond the ASCII scope assumption
+    _mh_tail = _mh_cand.split("), capped AS (", 1)[1]
+    out["minhash_near_dup_nonascii"] = (
+        "WITH mh_sh AS ("
+        + _mh_sh_bytes("SELECT doc_id, replace(text, 'e', 'é') AS text "
+                       "FROM documents")
+        + "), capped AS (" + _mh_tail + _mh_verify)
     # fuzzy dedup assignments: transitive closure of an (already oracled)
     # near-dup pair graph via a recursive CTE, canonical = component min;
     # docs in no pair map to themselves through the LEFT JOIN

@@ -110,6 +110,7 @@ def run_bench() -> dict:
     import statistics
 
     timings_min: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     total_t0 = time.time()
     for name in BENCH_QUERIES:
         samples = []
@@ -123,6 +124,7 @@ def run_bench() -> dict:
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
         timings_min[name] = round(min(samples), 3)
+        timings_max[name] = round(max(samples), 3)
     wall = round(time.time() - total_t0, 3)
 
     out = {
@@ -132,6 +134,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_max": timings_max,
         "reps": reps,
         "wall_all_reps": wall,
         "rows": rows,

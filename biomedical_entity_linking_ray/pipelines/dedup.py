@@ -120,8 +120,11 @@ def minhash_near_dup_pairs(
     jaccard_threshold: float = 0.6,
     seed: int = 42,
     spill_dir: str | None = None,
+    docs: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, jaccard_est) candidate near-dup pairs above threshold.
+    `docs` overrides the (doc_id, text) corpus scan (derived-corpus hooks,
+    e.g. the non-ASCII parity query).
 
     shingle+minhash per batch -> vectorized explode of SKINNY (bucket, doc)
     rows (bucket = splitmix64-mixed band hash, one int64 -- band identity is
@@ -139,7 +142,8 @@ def minhash_near_dup_pairs(
     """
     import functools
 
-    sketches = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    src = docs if docs is not None else _read_docs(sf_dir, ["doc_id", "text"])
+    sketches = src.map_batches(
         functools.partial(_sketch_batch, num_perm=num_perm,
                           shingle_k=shingle_k, seed=seed),
         batch_format="pyarrow", batch_size=1024,

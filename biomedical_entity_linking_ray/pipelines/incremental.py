@@ -383,7 +383,7 @@ def run_linkage_incremental(
             touched_rep_ids, n_touched_reps, cfg, keep=True,
         ).union(reps_delta_new.select_columns(feat_cols)).materialize()
         if scoring_feats.count() <= cfg.broadcast_side_max:
-            feats_ref = ray.put(scoring_feats.to_pandas())
+            feats_ref = fused_scoring.pack_rep_feats(scoring_feats, cfg)
             scored, _stars, stars_raw = fused_scoring.score_blocks(
                 blocks_dd, cfg, feats_ref=feats_ref)
         else:

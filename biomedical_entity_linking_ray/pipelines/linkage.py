@@ -204,9 +204,7 @@ def run_linkage(
             _shutil.rmtree(spill, ignore_errors=True)
         blocks_dd = fused_scoring.dedup_blocks_by_memberset(block_rows, cfg)
         if n_reps <= cfg.broadcast_side_max:
-            feats_ref = ray.put(
-                reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
-                .to_pandas())
+            feats_ref = fused_scoring.pack_rep_feats(reps, cfg)
             scored, stars, stars_raw = fused_scoring.score_blocks(
                 blocks_dd, cfg, feats_ref=feats_ref, spill_dir=spill)
         else:

@@ -150,6 +150,42 @@ def enrich_block_rows(
     )
 
 
+def pack_rep_feats(reps: "ray.data.Dataset", cfg: LinkageConfig):
+    """reps(file_id, path_norm, sig, tfvec) -> `ray.put` ObjectRef of a
+    PACKED tuple (file_id ndarray, path ndarray, sig (n, num_perm) uint16,
+    tfvec (n, tf_dim) float16) for score_blocks' broadcast fast path.
+
+    Packing once on the driver replaces the old pandas-DataFrame broadcast
+    whose object-bytes columns every scoring bucket re-decoded with
+    ``b"".join(sel[...].tolist())`` (n Python bytes objects + a full copy
+    per bucket); consumers now gather rows with one numpy fancy-index. The
+    sketch matrices come off the Arrow data buffers zero-copy."""
+    import ray as _ray
+
+    from biomedical_entity_linking_ray.functions.vectors import (
+        binary_column_to_matrix,
+    )
+
+    t = pa.concat_tables(_ray.get(
+        reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
+        .to_arrow_refs()))
+    fid = np.asarray(t["file_id"].to_pylist(), dtype=object)
+    paths = np.asarray(t["path_norm"].to_pylist(), dtype=object)
+    sigs = np.ascontiguousarray(
+        binary_column_to_matrix(t["sig"], np.uint16, cfg.num_perm))
+    vecs = np.ascontiguousarray(
+        binary_column_to_matrix(t["tfvec"], np.float16, cfg.tf_dim))
+    return _ray.put((fid, paths, sigs, vecs))
+
+
+def _feats_index(packed):
+    """One-time per-worker transform: hashtable over the packed file_ids."""
+    import pandas as _pd
+
+    fid, paths, sigs, vecs = packed
+    return _pd.Index(fid), paths, sigs, vecs
+
+
 _PAIR_SCHEMA = pa.schema([
     ("kind", pa.string()), ("id_a", pa.string()), ("id_b", pa.string()),
     ("block_key", pa.string()),
@@ -267,14 +303,15 @@ def score_blocks(
             bk, fid = g["block_key"], g["file_id"]
         _mark()
         if feats_ref is not None:
-            idx = cached_broadcast(
-                feats_ref, lambda df: df.set_index("file_id", drop=False))
-            sel = idx.reindex(fid.to_pylist())
-            paths, path_codes = sel["path_norm"].to_numpy(), None
-            sigs = np.frombuffer(b"".join(sel["sig"].tolist()), dtype=np.uint16
-                                 ).reshape(n, num_perm)
-            vecs = np.frombuffer(b"".join(sel["tfvec"].tolist()), dtype=np.float16
-                                 ).reshape(n, tf_dim).astype(np.float32)
+            fidx, bpaths, bsigs, bvecs = cached_broadcast(
+                feats_ref, _feats_index)
+            pos = fidx.get_indexer(fid.to_numpy(zero_copy_only=False))
+            if pos.size and pos.min() < 0:
+                raise KeyError("block row references a file_id absent from "
+                               "the packed rep feature broadcast")
+            paths, path_codes = bpaths[pos], None
+            sigs = bsigs[pos]                      # one fancy-index gather
+            vecs = bvecs[pos].astype(np.float32)   # (no per-bucket re-join)
         else:
             d = pc.dictionary_encode(g["path_norm"].combine_chunks())
             d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d

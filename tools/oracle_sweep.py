@@ -64,8 +64,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM read_parquet('{SF}/{t}.parquet')")
 
-    names = sys.argv[1:] or [n for n in qs if n in oracles]
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    names = args or [n for n in qs if n in oracles]
     fails = []
+    detail: dict[str, dict] = {}
     for name in names:
         if name not in oracles:
             print(f"SKIP {name}: no oracle", flush=True)
@@ -81,6 +88,10 @@ def main() -> int:
                 a, b = got.astype(str).values, want.astype(str).values
                 vals = bool((a == b).all())
             ok = rows and schema and vals
+            detail[name] = {
+                "ok": ok, "rows": len(got), "oracle_rows": len(want),
+                "schema_match": schema, "vals_match": vals,
+                "secs": round(time.time() - t0, 2)}
             print(f"{'OK ' if ok else 'FAIL'} {name} "
                   f"rows={len(got)}/{len(want)} schema={schema} vals={vals} "
                   f"{time.time() - t0:.1f}s", flush=True)
@@ -95,9 +106,15 @@ def main() -> int:
                     print("  oracle cols:", list(want.columns))
         except Exception as exc:
             fails.append(name)
+            detail[name] = {"ok": False, "error": str(exc)}
             print(f"ERR  {name}: {exc}", flush=True)
             traceback.print_exc()
 
+    summary = {"sf": SF, "checked": len(names), "fails": fails,
+               "queries": detail}
+    if out_path:  # per-round machine-verifiable artifact (VERDICT r4 item 2)
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
     print(json.dumps({"sf": SF, "checked": len(names), "fails": fails}))
     ray.shutdown()
     return 1 if fails else 0
