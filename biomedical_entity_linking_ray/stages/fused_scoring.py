@@ -166,9 +166,18 @@ def pack_rep_feats(reps: "ray.data.Dataset", cfg: LinkageConfig):
         binary_column_to_matrix,
     )
 
-    t = pa.concat_tables(_ray.get(
-        reps.select_columns(["file_id", "path_norm", "sig", "tfvec"])
-        .to_arrow_refs()))
+    cols = ["file_id", "path_norm", "sig", "tfvec"]
+    # per-block projection + empty-block drop: Ray's filter/map stages can
+    # emit EMPTY blocks that bypass select_columns and keep their upstream
+    # schema, which would fail concat_tables (the heal_projection quirk)
+    blocks = [b.select(cols) for b in
+              _ray.get(reps.select_columns(cols).to_arrow_refs())
+              if b.num_rows]
+    t = pa.concat_tables(blocks) if blocks else pa.table({
+        "file_id": pa.array([], pa.string()),
+        "path_norm": pa.array([], pa.string()),
+        "sig": pa.array([], pa.binary()),
+        "tfvec": pa.array([], pa.binary())})
     fid = np.asarray(t["file_id"].to_pylist(), dtype=object)
     paths = np.asarray(t["path_norm"].to_pylist(), dtype=object)
     sigs = np.ascontiguousarray(
