@@ -126,22 +126,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         anchors = res.assignments.map_batches(pick, batch_format="pyarrow")
         # full joint graph = scored pairs (>= tau) + exact-duplicate bonds
-        # (rep<->member from contraction, score 2.0 > any real score: the
-        # sweep processes them first, so identical-content rows ride with
-        # their rep unless both sides are already anchored -- the one case
-        # the greedy may split, keeping each anchor its own cluster)
-        def bonds(t: _pa.Table) -> _pa.Table:
-            import pyarrow.compute as _pc
-
-            t = t.filter(_pc.invert(_pc.equal(t["file_id"], t["rep_id"])))
-            return _pa.table({
-                "id_a": t["rep_id"], "id_b": t["file_id"],
-                "score": _pa.array(
-                    _np.full(t.num_rows, 2.0), _pa.float64())})
+        # (contracted members never appear in the scored stream; see
+        # stages/anchored.py:exact_bond_edges)
+        from biomedical_entity_linking_ray.stages.anchored import (
+            exact_bond_edges,
+        )
 
         edges = res.edges.select_columns(["id_a", "id_b", "score"]).union(
-            res.members.select_columns(["file_id", "rep_id"]).map_batches(
-                bonds, batch_format="pyarrow"))
+            exact_bond_edges(res.members))
         return anchored_partition(edges, res.assignments, anchors) \
             .sort(["file_id"])
 

@@ -71,6 +71,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--partition-cols", nargs="*", default=None,
                     help="hive-partition the output by these columns "
                          "(e.g. lang)")
+    ap.add_argument("--anchors", default=None,
+                    help="Parquet file/dir with a file_id column naming "
+                         "ANCHOR rows (e.g. a dictionary table): refine "
+                         "clusters so each keeps >= 1 anchor (the reference "
+                         "special_partition invariant; stages/anchored.py). "
+                         "Batch DEFAULT mode only -- needs the scored pairs")
     ap.add_argument("--prior-checkpoint", default=None,
                     help="INCREMENTAL mode: link --input (the DELTA files "
                          "table) against the frozen prior state in this "
@@ -102,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --update-checkpoint only applies to incremental runs "
               "(--prior-checkpoint); a batch run's --checkpoint-root IS its "
               "prior", file=sys.stderr)
+        return 2
+    if args.anchors and args.prior_checkpoint:
+        print("error: --anchors applies to batch mode (anchored refinement "
+              "needs the full scored graph; run the batch job over "
+              "base+delta)", file=sys.stderr)
         return 2
 
     import ray
@@ -176,6 +187,35 @@ def main(argv: list[str] | None = None) -> int:
     else:
         res = run_linkage(files, cfg, checkpoint_root=args.checkpoint_root)
         out_ds = res.assignments
+        if args.anchors:
+            if not cfg.emit_scored_pairs:
+                print("error: --anchors needs the scored-pair graph; drop "
+                      "--assignments-only", file=sys.stderr)
+                return 2
+            from biomedical_entity_linking_ray.stages.anchored import (
+                anchored_partition, exact_bond_edges,
+            )
+            import pyarrow as pa
+
+            from biomedical_entity_linking_ray.functions.joins import (
+                hash_join, heal_projection,
+            )
+
+            anchors_ds = rd.read_parquet(args.anchors, columns=["file_id"])
+            edges = res.edges.select_columns(["id_a", "id_b", "score"]) \
+                .union(exact_bond_edges(res.members))
+            refined = anchored_partition(edges, res.assignments, anchors_ds)
+            # re-attach the per-row content_sha invariant (job contract)
+            sch = pa.schema([
+                ("file_id", pa.string()), ("cluster_id", pa.string()),
+                ("canonical_id", pa.string()), ("content_sha", pa.string())])
+            out_ds = hash_join(
+                refined, res.members.select_columns(
+                    ["file_id", "content_sha"]),
+                "inner", 16, on=("file_id",),
+            ).map_batches(
+                heal_projection(sch, lambda t: t.select(sch.names)),
+                batch_format="pyarrow")
 
     write_kw = {}
     if args.partition_cols:

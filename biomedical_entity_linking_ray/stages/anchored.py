@@ -99,6 +99,30 @@ def refine_component(
     return np.fromiter((find(ref_parent, i) for i in range(n)), np.int64, n)
 
 
+def exact_bond_edges(
+    members: "ray.data.Dataset", score: float = 2.0,
+) -> "ray.data.Dataset":
+    """members(file_id, rep_id) -> (id_a=rep, id_b=member, score) for every
+    exact-duplicate member (file_id != rep_id).
+
+    Bond score 2.0 > any real pair score (scores are <= 1.0), so the
+    descending sweep processes bonds first: identical-content rows ride
+    with their contraction rep unless both sides are already anchored --
+    the one case the greedy may split, keeping each anchor its own
+    cluster. Union these with the scored pairs to give the partition full
+    node coverage (contracted members never appear in the scored stream)."""
+    import pyarrow.compute as pc
+
+    def bonds(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["file_id"], t["rep_id"])))
+        return pa.table({
+            "id_a": t["rep_id"], "id_b": t["file_id"],
+            "score": pa.array(np.full(t.num_rows, score), pa.float64())})
+
+    return members.select_columns(["file_id", "rep_id"]).map_batches(
+        bonds, batch_format="pyarrow")
+
+
 def anchored_partition(
     edges: "ray.data.Dataset",
     assignments: "ray.data.Dataset",

@@ -216,3 +216,59 @@ def test_job_entry_incremental_chained(tmp_path):
     err, _ = run(["--input", paths["d2"], "--update-checkpoint",
                   str(tmp_path / "x")], "bad2", want_rc=2)
     assert "only applies to incremental" in err
+
+
+def test_job_entry_anchored(tmp_path):
+    """--anchors refines clusters so each keeps >= 1 anchor row (reference
+    special_partition invariant) while preserving the job output contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biomedical_entity_linking_ray.config import SynthConfig
+    from biomedical_entity_linking_ray.synth import materialize_corpus
+
+    d = materialize_corpus(SynthConfig().scaled(0.1))
+    # anchors: a deterministic half of the corpus by repo/path hash -- built
+    # from the INPUT (file_id = sha256(repo|path|commit), same derivation as
+    # the engine's)
+    from biomedical_entity_linking_ray.functions.ids import file_id_of
+
+    t = pq.read_table(os.path.join(d, "files.parquet"),
+                      columns=["repo", "path", "commit"])
+    fids = [file_id_of(r, p, c) for r, p, c in
+            zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                t["commit"].to_pylist())]
+    anchors = sorted(fids)[::2]
+    pq.write_table(pa.table({"file_id": pa.array(anchors, pa.string())}),
+                   tmp_path / "anchors.parquet")
+
+    out, m = _run_job(["--anchors", str(tmp_path / "anchors.parquet")],
+                      tmp_path, "anch")
+    res = pq.read_table(out).to_pandas()
+    assert len(res) == m["rows_out"] > 0
+    assert {"file_id", "cluster_id", "canonical_id", "content_sha"} <= set(
+        res.columns)
+    assert res["content_sha"].notna().all()
+    assert not res["file_id"].duplicated().any()
+    # invariant: every multi-member cluster containing any anchor-reachable
+    # node keeps >= 1 anchor; here anchors cover half the corpus, so check
+    # the weaker universally-true form: a cluster with an anchor keeps it,
+    # and canonical_id of anchored clusters IS an anchor
+    aset = set(anchors)
+    grp = res.groupby("cluster_id")
+    for cl, sub in grp:
+        has_anchor = any(f in aset for f in sub["file_id"])
+        if has_anchor:
+            assert sub["canonical_id"].iloc[0] in aset
+
+    # --anchors + --assignments-only must be rejected (needs scored pairs)
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    cmd = [sys.executable, "-m", "biomedical_entity_linking_ray",
+           "--input", os.path.join(d, "files.parquet"),
+           "--output", str(tmp_path / "rejected"),
+           "--assignments-only",
+           "--anchors", str(tmp_path / "anchors.parquet")]
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=300)
+    assert proc.returncode == 2
+    assert "--assignments-only" in proc.stderr
