@@ -114,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
               "needs the full scored graph; run the batch job over "
               "base+delta)", file=sys.stderr)
         return 2
+    if args.anchors and args.assignments_only:
+        # statically decidable: reject BEFORE the batch pipeline runs
+        print("error: --anchors needs the scored-pair graph; drop "
+              "--assignments-only", file=sys.stderr)
+        return 2
 
     import ray
 
@@ -188,10 +193,6 @@ def main(argv: list[str] | None = None) -> int:
         res = run_linkage(files, cfg, checkpoint_root=args.checkpoint_root)
         out_ds = res.assignments
         if args.anchors:
-            if not cfg.emit_scored_pairs:
-                print("error: --anchors needs the scored-pair graph; drop "
-                      "--assignments-only", file=sys.stderr)
-                return 2
             from biomedical_entity_linking_ray.stages.anchored import (
                 anchored_partition, exact_bond_edges,
             )
@@ -205,13 +206,17 @@ def main(argv: list[str] | None = None) -> int:
             edges = res.edges.select_columns(["id_a", "id_b", "score"]) \
                 .union(exact_bond_edges(res.members))
             refined = anchored_partition(edges, res.assignments, anchors_ds)
-            # re-attach the per-row content_sha invariant (job contract)
-            sch = pa.schema([
-                ("file_id", pa.string()), ("cluster_id", pa.string()),
-                ("canonical_id", pa.string()), ("content_sha", pa.string())])
+            # re-attach the per-row invariant + lineage columns so the
+            # anchored output honors the SAME job contract as the plain
+            # batch output (content_sha, repo/path/commit/lang for
+            # --partition-cols)
+            lineage = ["content_sha", "repo", "path", "commit", "lang"]
+            sch = pa.schema(
+                [("file_id", pa.string()), ("cluster_id", pa.string()),
+                 ("canonical_id", pa.string())]
+                + [(c, pa.string()) for c in lineage])
             out_ds = hash_join(
-                refined, res.members.select_columns(
-                    ["file_id", "content_sha"]),
+                refined, res.members.select_columns(["file_id", *lineage]),
                 "inner", 16, on=("file_id",),
             ).map_batches(
                 heal_projection(sch, lambda t: t.select(sch.names)),

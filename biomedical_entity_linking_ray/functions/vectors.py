@@ -50,8 +50,10 @@ def binary_column_to_matrix(col, dtype, width: int) -> np.ndarray:
     in the Arrow data buffer, so this helper views that buffer directly
     (``np.frombuffer`` on the chunk's data buffer, sliced by the chunk's
     value offsets) and reshapes -- no per-row objects, no copy. Values are
-    bit-identical to the join path; irregular layouts (nulls, ragged widths,
-    non-contiguous offsets) fall back to the join path per chunk.
+    bit-identical to the join path; irregular layouts (ragged widths,
+    non-contiguous offsets) fall back to the join path per chunk. Null
+    values raise a ValueError — a sketch column must be null-free, and the
+    join path would otherwise die on an opaque TypeError.
 
     `width` is the element count per row at `dtype` (e.g. num_perm uint64
     words), used both for the reshape and the regularity check.
@@ -87,7 +89,11 @@ def binary_column_to_matrix(col, dtype, width: int) -> np.ndarray:
                 outs.append(raw[offs[0]:offs[-1]]
                             .view(dtype).reshape(n, width))
                 continue
-        # irregular chunk (nulls / ragged / unexpected type): portable path
+        # irregular chunk (ragged / unexpected type): portable path
+        if ch.null_count:
+            raise ValueError(
+                f"binary sketch column contains {ch.null_count} null "
+                "values; sketches must be null-free")
         outs.append(np.frombuffer(b"".join(ch.to_pylist()), dtype=dtype)
                     .reshape(-1, width))
     if not outs:

@@ -681,15 +681,20 @@ def anchored_assign_bipartite(
         vn[vn == 0] = 1.0
         sims = np.round((V / vn) @ Au_.T, 4)  # (m, n_anchors)
         kk = min(k, len(aids))
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            order = np.lexsort((aids, -sims[i]))[:kk]
-            out_a.extend([_pad(ids[i])] * order.size)
-            out_b.extend(_pad(aids[j]) for j in order)
-            out_s.extend(sims[i, order].tolist())
-        return pa.table({"id_a": pa.array(out_a, pa.string()),
-                         "id_b": pa.array(out_b, pa.string()),
-                         "score": pa.array(out_s, pa.float64())})
+        # one vectorized cut for the whole batch: anchors are column-sorted
+        # by id (load_query_matrix sorts), so a STABLE argsort on -sims
+        # breaks score ties by anchor id ascending -- identical to the
+        # per-row lexsort((aids, -sims[i])) it replaces, without the
+        # per-mention Python loop
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        apad = np.array([_pad(a) for a in aids], dtype=object)
+        mpad = np.array([_pad(i) for i in ids], dtype=object)
+        return pa.table({
+            "id_a": pa.array(np.repeat(mpad, kk), pa.string()),
+            "id_b": pa.array(apad[order.ravel()], pa.string()),
+            "score": pa.array(
+                np.take_along_axis(sims, order, axis=1).ravel(),
+                pa.float64())})
 
     edges = _read_embeddings(sf_dir).map_batches(
         edges_fn, batch_format="pyarrow", batch_size=4096)

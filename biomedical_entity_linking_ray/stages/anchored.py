@@ -181,6 +181,14 @@ def anchored_partition(
             heal_projection(sch, lambda t: t.select(sch.names)),
             batch_format="pyarrow")
 
+    # pin the skinny tagged stream ONCE: both the refine kernel and the
+    # singleton anti pass consume it (the anti's bloom build scans its
+    # filter side twice more), and the caller's edge lineage may itself be
+    # the job's largest all-to-all left deliberately lazy (linkage.py's
+    # scored-pair dedup) -- without this pin that shuffle would re-execute
+    # per consumer
+    tagged = tagged.materialize()
+
     # ---- anchor membership flags per endpoint
     anc = anchors.select_columns(["file_id"]).materialize()
     n_anchors = anc.count()

@@ -272,17 +272,14 @@ def score_blocks(
             zero_copy_only=False)
 
     def _dense_payload(col, dtype, width: int, n: int) -> np.ndarray:
-        """(n, width) matrix view of a binary column whose every value is
-        exactly `width * dtype.itemsize` bytes -- reads the Arrow data buffer
-        directly instead of materializing n Python bytes objects."""
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-            arr.offset: arr.offset + n + 1]
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-        flat = data[off[0]: off[-1]]
-        return np.frombuffer(flat.tobytes(), dtype=dtype).reshape(n, width) \
-            if flat.ctypes.data % np.dtype(dtype).itemsize else \
-            flat.view(dtype).reshape(n, width)
+        """(n, width) matrix view of an equal-width binary column -- shared
+        zero-copy decode (vectors.binary_column_to_matrix) so buffer-view
+        fixes live in one place."""
+        from biomedical_entity_linking_ray.functions.vectors import (
+            binary_column_to_matrix,
+        )
+
+        return binary_column_to_matrix(col, dtype, width)
 
     def score_bucket(g: pa.Table) -> pa.Table:
         import time as _time

@@ -242,12 +242,15 @@ def test_job_entry_anchored(tmp_path):
     pq.write_table(pa.table({"file_id": pa.array(anchors, pa.string())}),
                    tmp_path / "anchors.parquet")
 
-    out, m = _run_job(["--anchors", str(tmp_path / "anchors.parquet")],
+    out, m = _run_job(["--anchors", str(tmp_path / "anchors.parquet"),
+                       "--partition-cols", "lang"],
                       tmp_path, "anch")
+    # lineage columns preserved -> hive partitioning works on anchored output
+    assert [p for p in os.listdir(out) if p.startswith("lang=")]
     res = pq.read_table(out).to_pandas()
     assert len(res) == m["rows_out"] > 0
-    assert {"file_id", "cluster_id", "canonical_id", "content_sha"} <= set(
-        res.columns)
+    assert {"file_id", "cluster_id", "canonical_id", "content_sha",
+            "repo", "path", "commit", "lang"} <= set(res.columns)
     assert res["content_sha"].notna().all()
     assert not res["file_id"].duplicated().any()
     # invariant: every multi-member cluster containing any anchor-reachable

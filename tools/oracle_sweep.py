@@ -68,6 +68,9 @@ def main() -> int:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            print("usage: oracle_sweep.py [query ...] [--out FILE]")
+            return 2
         out_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     names = args or [n for n in qs if n in oracles]
