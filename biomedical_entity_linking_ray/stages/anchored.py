@@ -188,12 +188,23 @@ def anchored_partition(
     # scored-pair dedup) -- without this pin that shuffle would re-execute
     # per consumer
     tagged = tagged.materialize()
+    if tagged.count() == 0:
+        # no refinable edges: every assignment passes through unchanged
+        # (also dodges the empty-block stale-schema join quirk downstream)
+        return lab.map_batches(
+            heal_projection(_OUT, lambda t: pa.table({
+                "file_id": t["file_id"], "cluster_id": t["cluster_id"],
+                "canonical_id": t["cluster_id"],
+            })),
+            batch_format="pyarrow")
 
     # ---- anchor membership flags per endpoint
     anc = anchors.select_columns(["file_id"]).materialize()
     n_anchors = anc.count()
     if n_anchors <= anchor_broadcast_max:
-        anc_ref = ray.put(frozenset(anc.to_pandas()["file_id"]))
+        # empty-table to_pandas drops columns -- broadcast the empty set
+        anc_ref = ray.put(frozenset(
+            anc.to_pandas()["file_id"]) if n_anchors else frozenset())
 
         def flag(t: pa.Table) -> pa.Table:
             s = cached_broadcast(anc_ref)

@@ -220,3 +220,50 @@ def test_anchored_partition_join_fallback_paths():
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_anchored_partition_duplicate_and_selfloop_edges():
+    """Duplicate edges are cycle-skips, self-loops are no-ops: the result
+    must equal the clean-edge run (reference pre-dedup analog,
+    special_partition.pyx:363-389)."""
+    from biomedical_entity_linking_ray.stages.anchored import anchored_partition
+
+    clean = [
+        {"id_a": "A1", "id_b": "m1", "score": 0.9},
+        {"id_a": "m1", "id_b": "m2", "score": 0.2},
+        {"id_a": "m2", "id_b": "A2", "score": 0.8},
+    ]
+    dirty = clean + [
+        {"id_a": "A1", "id_b": "m1", "score": 0.9},   # exact duplicate
+        {"id_a": "m1", "id_b": "A1", "score": 0.9},   # reversed duplicate
+        {"id_a": "m2", "id_b": "m2", "score": 0.5},   # self-loop
+    ]
+    assignments = rd.from_items([
+        {"file_id": f, "cluster_id": "A1"} for f in ("A1", "m1", "m2", "A2")])
+    anchors = rd.from_items([{"file_id": "A1"}, {"file_id": "A2"}])
+    key = ["file_id"]
+    a = anchored_partition(rd.from_items(clean), assignments, anchors) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    b = anchored_partition(rd.from_items(dirty), assignments, anchors) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_anchored_partition_empty_edges_and_empty_anchors():
+    from biomedical_entity_linking_ray.stages.anchored import anchored_partition
+
+    assignments = rd.from_items([
+        {"file_id": "x", "cluster_id": "x"}, {"file_id": "y", "cluster_id": "y"}])
+    empty_edges = rd.from_items([
+        {"id_a": "q", "id_b": "q", "score": 0.0}]).filter(lambda r: False)
+    anchors = rd.from_items([{"file_id": "x"}])
+    out = anchored_partition(empty_edges, assignments, anchors).to_pandas()
+    assert sorted(out["file_id"]) == ["x", "y"]
+    assert (out["file_id"] == out["cluster_id"]).all()
+    # anchorless world: one component stays whole
+    edges = rd.from_items([{"id_a": "x", "id_b": "y", "score": 0.5}])
+    no_anchors = anchors.filter(lambda r: False)
+    out2 = anchored_partition(edges, rd.from_items([
+        {"file_id": "x", "cluster_id": "x"},
+        {"file_id": "y", "cluster_id": "x"}]), no_anchors).to_pandas()
+    assert out2["cluster_id"].nunique() == 1

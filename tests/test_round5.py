@@ -274,3 +274,43 @@ def test_encode_documents_num_gpus_plumbing():
     docs = rd.from_items([{"doc_id": 1, "text": "alpha beta"}])
     out = encode_documents(docs, concurrency=1).to_pandas()
     assert len(out) == 1 and len(out["embedding"].iloc[0]) == 64
+
+
+def test_binary_matrix_hypothesis_differential():
+    """Randomized chunk layouts (chunk splits x slices x dtypes) must match
+    the portable join decode bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from biomedical_entity_linking_ray.functions.vectors import (
+        binary_column_to_matrix,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(0, 40),
+        width=st.integers(1, 9),
+        dt=st.sampled_from(["<u2", "<u8", "<f8"]),
+        split=st.integers(0, 40),
+        off=st.integers(0, 8),
+        fixed=st.booleans(),
+        data=st.data(),
+    )
+    def check(n, width, dt, split, off, fixed, data):
+        dtype = np.dtype(dt)
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+        rows = [rng.integers(0, 255, width * dtype.itemsize,
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+        typ = pa.binary(width * dtype.itemsize) if fixed else pa.binary()
+        split = min(split, n)
+        col = pa.chunked_array(
+            [pa.array(rows[:split], typ), pa.array(rows[split:], typ)]
+            if 0 < split < n else [pa.array(rows, typ)])
+        off = min(off, len(col))
+        sliced = col.slice(off)
+        want = _join_path(rows[off:], dtype, width) if n - off else \
+            np.empty((0, width), dtype)
+        got = binary_column_to_matrix(sliced, dtype, width)
+        np.testing.assert_array_equal(got, want)
+
+    check()
