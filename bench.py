@@ -227,27 +227,43 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    # default: BOTH N->4N legs (2->8 and 8->32) so one artifact carries the
+    # small-cluster bar AND the hardware-ceiling regime of this shared VM;
+    # GRAFT_SCALING_LO/HI narrow it to a single pair
+    lo_env, hi_env = (os.environ.get("GRAFT_SCALING_LO"),
+                      os.environ.get("GRAFT_SCALING_HI"))
+    pairs = ([(int(lo_env), int(hi_env))] if lo_env and hi_env
+             else [(2, 8), (8, 32)])
+
     # best-of-N per CPU count: the sandbox VM shares its host, so single runs
     # carry up to ~40% noise; min wall-time approximates uncontended hardware
-    runs_lo = [run(lo) for _ in range(reps)]
-    runs_hi = [run(hi) for _ in range(reps)]
-    r_lo = min(runs_lo, key=lambda r: r["value"])
-    r_hi = min(runs_hi, key=lambda r: r["value"])
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    best: dict[int, dict] = {}
+    for n in sorted({c for p in pairs for c in p}):
+        best[n] = min((run(n) for _ in range(reps)), key=lambda r: r["value"])
+
+    legs = {}
+    for lo, hi in pairs:
+        t_lo, t_hi = best[lo]["value"], best[hi]["value"]
+        legs[f"{lo}_to_{hi}"] = {
+            f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+            "speedup": round(t_lo / t_hi, 3),
+            "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        }
+    head_lo, head_hi = pairs[0]
+    any_r = best[head_lo]
     return {
-        "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh processes, same input)",
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
-        "speedup": round(t_lo / t_hi, 3),
-        "scaling_efficiency": round(eff, 3),
-        "rows_in": r_lo["rows_in"],
-        "pairs_scored": r_lo["pairs_scored"],
-        f"rows_per_sec_{lo}": r_lo["rows_per_sec"],
-        f"rows_per_sec_{hi}": r_hi["rows_per_sec"],
+        "metric": "scaling efficiency (N -> 4N cpus, taskset-pinned fresh "
+                  "processes, same input)",
+        "legs": legs,
+        # flat fields for the headline pair (driver-artifact compatibility)
+        f"sec_{head_lo}": best[head_lo]["value"],
+        f"sec_{head_hi}": best[head_hi]["value"],
+        "speedup": legs[f"{head_lo}_to_{head_hi}"]["speedup"],
+        "scaling_efficiency": legs[f"{head_lo}_to_{head_hi}"]["efficiency"],
+        "rows_in": any_r["rows_in"],
+        "pairs_scored": any_r["pairs_scored"],
+        **{f"rows_per_sec_{n}": best[n]["rows_per_sec"] for n in best},
         "workload": "linkage on synthetic files corpus factor="
                     + os.environ.get("GRAFT_SCALE_FACTOR", "60"),
     }
